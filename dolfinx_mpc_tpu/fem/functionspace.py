@@ -1,0 +1,359 @@
+"""Function spaces and dofmaps.
+
+TPU-native replacement for the DOLFINx FunctionSpace/DofMap/IndexMap surface
+the reference consumes everywhere (/root/reference/cpp/mpc_helpers.h:24-31,
+cpp/PeriodicConstraint.h:525-555).  Single-address-space design: there is no
+owner/ghost IndexMap — the mesh is shared, and distribution happens later by
+sharding the static per-cell tables over a `jax.sharding.Mesh`
+(see parallel/).  Dof blocks are numbered entity-wise; orientation of shared
+edge/face interior dofs is resolved by geometric matching of nodal points,
+which is robust for any cell order and replaces DOLFINx's permutation codes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from .elements import LagrangeElement, lagrange_element
+from .mesh import Mesh
+
+__all__ = [
+    "FunctionSpace",
+    "functionspace",
+    "Function",
+    "DirichletBC",
+    "dirichletbc",
+    "locate_dofs_geometrical",
+    "locate_dofs_topological",
+]
+
+
+@dataclass
+class FunctionSpace:
+    """A (possibly blocked/vector) Lagrange space.
+
+    dofmap_blocks: (n_cells, ndofs_scalar) int32 — global dof *block* per
+        local scalar basis function.  The unrolled dof index for local node i,
+        component k is ``dofmap_blocks[c, i] * bs + k`` (interleaved layout,
+        matching DOLFINx's blocked IndexMap convention).
+    """
+
+    mesh: Mesh
+    element: LagrangeElement
+    block_size: int
+    dofmap_blocks: np.ndarray
+    num_blocks: int
+    dof_coords_blocks: np.ndarray  # (num_blocks, gdim)
+    entity_dofs_store: dict  # dim -> (n_entities, k) block ids per entity
+    # sub-space bookkeeping: if this is V.sub(i), parent is set
+    parent: Optional["FunctionSpace"] = None
+    component: Optional[int] = None
+    _dofmap_unrolled: Optional[np.ndarray] = field(default=None, repr=False)
+
+    @property
+    def num_dofs(self) -> int:
+        return self.num_blocks * self.block_size
+
+    @property
+    def ndofs_cell(self) -> int:
+        """Unrolled dofs per cell."""
+        return self.element.ndofs * self.block_size
+
+    @property
+    def dofmap(self) -> np.ndarray:
+        """(n_cells, ndofs_scalar*bs) unrolled int32 dofmap, interleaved."""
+        if self._dofmap_unrolled is None:
+            bs = self.block_size
+            dm = self.dofmap_blocks.astype(np.int64)
+            un = (dm[:, :, None] * bs + np.arange(bs)[None, None, :]).reshape(
+                dm.shape[0], -1
+            )
+            object.__setattr__(self, "_dofmap_unrolled", un.astype(np.int32))
+        return self._dofmap_unrolled
+
+    def tabulate_dof_coordinates(self) -> np.ndarray:
+        """(num_blocks, gdim) coordinates of each dof block (mirrors
+        /root/reference/cpp/utils.h:1214-1357)."""
+        return self.dof_coords_blocks
+
+    def sub(self, i: int) -> "FunctionSpace":
+        if not (0 <= i < self.block_size):
+            raise ValueError(f"component {i} out of range (bs={self.block_size})")
+        return FunctionSpace(
+            self.mesh,
+            self.element,
+            self.block_size,
+            self.dofmap_blocks,
+            self.num_blocks,
+            self.dof_coords_blocks,
+            self.entity_dofs_store,
+            parent=self,
+            component=i,
+        )
+
+    def collapse(self):
+        """Collapse a component sub-space to a standalone scalar space.
+        Returns (V_collapsed, parent_unrolled_dofs)."""
+        if self.component is None:
+            raise ValueError("collapse() only valid on a sub-space")
+        Vc = functionspace(self.mesh, (self.element.cell.name, self.element.degree))
+        parent_map = np.arange(self.num_blocks, dtype=np.int64) * self.block_size + self.component
+        return Vc, parent_map
+
+    def unroll_blocks(self, blocks: np.ndarray) -> np.ndarray:
+        """Block indices -> unrolled dof indices.  If this is a component
+        sub-space only that component is returned."""
+        blocks = np.asarray(blocks, dtype=np.int64)
+        if self.component is not None:
+            return blocks * self.block_size + self.component
+        bs = self.block_size
+        return (blocks[:, None] * bs + np.arange(bs)[None, :]).reshape(-1)
+
+
+def _canonical_entity_dofs(mesh: Mesh, element: LagrangeElement):
+    """Assign dof blocks entity-wise; resolve shared edge/face interior dof
+    orientation by geometric matching of the nodal points."""
+    cell = element.cell
+    d = element.degree
+    tdim = cell.tdim
+    n_cells = mesh.num_cells
+    nd = element.ndofs
+
+    dofmap = np.empty((n_cells, nd), dtype=np.int64)
+    # --- vertices
+    vert_local = element.entity_dofs(0)  # [[0],[1],...]
+    for lv, slots in enumerate(vert_local):
+        dofmap[:, slots[0]] = mesh.cells[:, lv]
+    next_block = mesh.num_points
+    coords_chunks = [mesh.points]
+    entity_store = {0: np.arange(mesh.num_points, dtype=np.int64)[:, None]}
+
+    # physical coords of every local node in every cell (geometry is P1/Q1:
+    # node coords = affine/multilinear combination of vertex coords)
+    geo = lagrange_element(cell.name, 1)
+    phi_nodes = geo.tabulate(element.nodes)  # (nd, n_verts)
+    cellxyz = mesh.points[mesh.cells]  # (n_cells, n_verts, gdim)
+    node_phys = np.einsum("nv,cvg->cng", phi_nodes, cellxyz)  # (n_cells, nd, gdim)
+
+    for dim in range(1, tdim + 1):
+        if dim == tdim:
+            per = len(element.entity_dofs(tdim)[0])
+            if per == 0:
+                entity_store[tdim] = np.zeros((n_cells, 0), dtype=np.int64)
+                continue
+            slots = element.entity_dofs(tdim)[0]
+            ids = next_block + np.arange(n_cells * per, dtype=np.int64).reshape(n_cells, per)
+            dofmap[:, slots] = ids
+            next_block += n_cells * per
+            coords_chunks.append(node_phys[:, slots, :].reshape(-1, mesh.gdim))
+            entity_store[tdim] = ids
+            continue
+        ent_local_dofs = element.entity_dofs(dim)
+        per = len(ent_local_dofs[0]) if ent_local_dofs else 0
+        _, cell_to_ent, _ = mesh.entities(dim)
+        n_ent = int(cell_to_ent.max()) + 1 if cell_to_ent.size else 0
+        ids = next_block + np.arange(n_ent * per, dtype=np.int64).reshape(n_ent, per)
+        entity_store[dim] = ids
+        if per == 0:
+            continue
+        canon = np.full((n_ent, per, mesh.gdim), np.nan)
+        have = np.zeros(n_ent, dtype=bool)
+        for le, slots in enumerate(ent_local_dofs):
+            E = cell_to_ent[:, le]  # (n_cells,)
+            pts = node_phys[:, slots, :]  # (n_cells, per, gdim)
+            newmask = ~have[E]
+            # first-touch cells define the canonical ordering
+            first_idx = np.flatnonzero(newmask)
+            # dedupe: only the first cell per entity among the new ones
+            _, keep = np.unique(E[first_idx], return_index=True)
+            first_idx = first_idx[keep]
+            canon[E[first_idx]] = pts[first_idx]
+            have[E[first_idx]] = True
+            # now match every cell's points against the canonical ones
+            diff = pts[:, :, None, :] - canon[E][:, None, :, :]
+            d2 = np.einsum("cabg,cabg->cab", diff, diff)
+            perm = d2.argmin(axis=2)  # (n_cells, per): local slot -> canonical pos
+            dofmap[:, slots] = np.take_along_axis(ids[E], perm, axis=1)
+        next_block += n_ent * per
+        coords_chunks.append(canon.reshape(-1, mesh.gdim))
+
+    dof_coords = np.concatenate(coords_chunks, axis=0)
+    assert dof_coords.shape[0] == next_block
+    return dofmap.astype(np.int32), next_block, dof_coords, entity_store
+
+
+def functionspace(mesh: Mesh, element_spec, shape=None) -> FunctionSpace:
+    """Create a function space.
+
+    element_spec: ("Lagrange", degree) | (cell_name, degree) | ("Lagrange",
+    degree, (gdim,)) for a vector space — mirrors
+    ``dolfinx.fem.functionspace`` usage in the reference demos.
+    """
+    if len(element_spec) == 3 and shape is None:
+        shape = element_spec[2]
+    degree = element_spec[1]
+    element = lagrange_element(mesh.cell_type, degree)
+    bs = 1 if shape is None else int(np.prod(shape))
+    dofmap, nblocks, coords, store = _canonical_entity_dofs(mesh, element)
+    return FunctionSpace(mesh, element, bs, dofmap, nblocks, coords, store)
+
+
+# ---- functions -----------------------------------------------------------
+
+
+class Function:
+    """A finite-element function: flat dof vector of length num_dofs."""
+
+    def __init__(self, V: FunctionSpace, x=None, name: str = "f", dtype=np.float64):
+        self.function_space = V
+        self.name = name
+        self.x = _VecShim(np.zeros(V.num_dofs, dtype=dtype) if x is None else np.asarray(x, dtype=dtype))
+
+    @property
+    def V(self):
+        return self.function_space
+
+    def interpolate(self, f: Callable):
+        """Pointwise nodal interpolation: f takes x of shape (gdim, n) and
+        returns (n,) for scalar spaces or (bs, n) for blocked spaces."""
+        V = self.function_space
+        coords = V.dof_coords_blocks  # (nb, gdim)
+        vals = np.asarray(f(coords.T))
+        bs = V.block_size
+        if bs == 1:
+            self.x.array[:] = np.asarray(vals).reshape(-1)
+        else:
+            if vals.shape != (bs, coords.shape[0]):
+                raise ValueError(f"expected ({bs}, {coords.shape[0]}), got {vals.shape}")
+            self.x.array[:] = vals.T.reshape(-1)
+        return self
+
+    def copy(self):
+        return Function(self.function_space, self.x.array.copy(), self.name)
+
+    def eval(self, points: np.ndarray, cells=None):
+        """Evaluate at physical points (host-side; for tests/demos)."""
+        from .geometry_maps import PointLocator, cell_coords
+
+        V = self.function_space
+        pts = np.atleast_2d(points)
+        loc = PointLocator(V.mesh)
+        cid, X = loc.locate(pts)
+        if (cid < 0).any():
+            raise ValueError("point outside mesh")
+        from .geometry_maps import _tabulate_rows
+
+        phi = _tabulate_rows(V.element, X)  # (n, ndofs_scalar)
+        dm = V.dofmap_blocks[cid]  # (n, ndofs_scalar)
+        bs = V.block_size
+        out = np.zeros((pts.shape[0], bs), dtype=self.x.array.dtype)
+        arr = self.x.array
+        for k in range(bs):
+            out[:, k] = np.einsum("ni,ni->n", phi, arr[dm * bs + k])
+        return out[:, 0] if bs == 1 else out
+
+
+class _VecShim:
+    """Mimics dolfinx's Function.x (has .array); also future home of the
+    device-array handle."""
+
+    def __init__(self, arr):
+        self.array = arr
+
+    def scatter_forward(self):  # single address space: no-op
+        pass
+
+    def scatter_reverse(self, *_):
+        pass
+
+    @property
+    def petsc_vec(self):
+        return self.array
+
+
+# ---- boundary conditions -------------------------------------------------
+
+
+@dataclass
+class DirichletBC:
+    """Dirichlet condition on unrolled dof indices.
+
+    value: scalar, array broadcastable over dofs, or a Function whose dof
+    values are sampled at `dofs`.
+    """
+
+    dofs: np.ndarray  # unrolled dof indices, int
+    value: object
+    V: FunctionSpace
+
+    def dof_values(self, dtype=np.float64) -> np.ndarray:
+        if isinstance(self.value, Function):
+            return self.value.x.array[self.dofs].astype(dtype)
+        v = np.asarray(self.value, dtype=dtype)
+        if v.ndim == 0:
+            return np.full(len(self.dofs), v, dtype=dtype)
+        # constant vector value: broadcast per block component
+        bs = self.V.block_size
+        comp = self.dofs % bs
+        return v[comp]
+
+
+def dirichletbc(value, dofs, V: FunctionSpace = None) -> DirichletBC:
+    """Mirror of ``dolfinx.fem.dirichletbc``: `dofs` are *block* indices as
+    returned by locate_dofs_*; they are unrolled here."""
+    if V is None:
+        if not isinstance(value, Function):
+            raise ValueError("V required unless value is a Function")
+        V = value.function_space
+    dofs = np.asarray(dofs, dtype=np.int64)
+    space = V if V.component is None else V  # sub-space: single component
+    unrolled = space.unroll_blocks(dofs)
+    base = V if V.parent is None else V.parent
+    return DirichletBC(np.unique(unrolled), value, base)
+
+
+def locate_dofs_geometrical(V: FunctionSpace, marker) -> np.ndarray:
+    """Dof blocks whose coordinates satisfy marker(x) with x (gdim, n)."""
+    mask = np.asarray(marker(V.dof_coords_blocks.T))
+    return np.flatnonzero(mask).astype(np.int64)
+
+
+def locate_dofs_topological(V: FunctionSpace, dim: int, entities) -> np.ndarray:
+    """Dof blocks attached to the closure of the given entities."""
+    entities = np.asarray(entities, dtype=np.int64)
+    mesh = V.mesh
+    store = V.entity_dofs_store
+    blocks = []
+    # entity's own interior dofs
+    if dim in store and store[dim].size:
+        blocks.append(store[dim][entities].reshape(-1))
+    # closure: vertices and lower-dim entities of each entity
+    if dim > 0:
+        ent_verts, _, _ = mesh.entities(dim)
+        vs = ent_verts[entities]
+        blocks.append(store[0][vs.reshape(-1)].reshape(-1))
+        if dim >= 2 and 1 in store and store[1].size:
+            # edges of these entities: find global edge ids by vertex pairs
+            edge_verts, _, _ = mesh.entities(1)
+            edge_lookup = {tuple(sorted(e)): i for i, e in enumerate(edge_verts.tolist())}
+            sub_edges = set()
+            for row in vs:
+                row = row.tolist()
+                n = len(row)
+                if dim == 2 and n == 4:
+                    pairs = [(0, 1), (0, 2), (1, 3), (2, 3)]
+                elif dim == 2 and n == 3:
+                    pairs = [(0, 1), (0, 2), (1, 2)]
+                else:
+                    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+                for a, b in pairs:
+                    key = tuple(sorted((row[a], row[b])))
+                    if key in edge_lookup:
+                        sub_edges.add(edge_lookup[key])
+            if sub_edges:
+                blocks.append(store[1][sorted(sub_edges)].reshape(-1))
+    out = np.unique(np.concatenate(blocks)) if blocks else np.array([], dtype=np.int64)
+    return out.astype(np.int64)

@@ -1,0 +1,192 @@
+"""Krylov solvers: jitted CG / BiCGStab / GMRES with Jacobi & Chebyshev
+preconditioning.
+
+TPU-native replacement of the PETSc KSP surface the reference drives through
+petsc_options (/root/reference/python/src/dolfinx_mpc/problem.py:506-530,
+python/benchmarks/bench_periodic.py:115-133).  Everything is
+`lax.while_loop`-based with static shapes; dot products are the only
+reductions (they become XLA all-reduces when sharded).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["SolverOptions", "cg", "bicgstab", "gmres", "jacobi_preconditioner", "chebyshev_preconditioner", "solve"]
+
+
+@dataclass
+class SolverOptions:
+    """Mirror of the PETSc options dict surface (ksp_type/pc_type/rtol...)."""
+
+    ksp_type: str = "cg"
+    pc_type: str = "jacobi"  # "none" | "jacobi" | "chebyshev"
+    rtol: float = 1e-8
+    atol: float = 1e-12
+    max_it: int = 10000
+    cheb_degree: int = 3
+
+    @classmethod
+    def from_petsc(cls, opts: Optional[dict]):
+        if opts is None:
+            return cls()
+        return cls(
+            ksp_type=opts.get("ksp_type", "cg"),
+            pc_type=opts.get("pc_type", "jacobi"),
+            rtol=float(opts.get("ksp_rtol", 1e-8)),
+            atol=float(opts.get("ksp_atol", 1e-12)),
+            max_it=int(opts.get("ksp_max_it", 10000)),
+        )
+
+
+def _vdot(a, b):
+    return jnp.vdot(a, b)
+
+
+def cg(A: Callable, b, M: Callable = None, x0=None, rtol=1e-8, atol=1e-12, max_it=10000):
+    """Preconditioned conjugate gradient.  A and M are linear operators
+    (callables).  Returns (x, iterations, residual_norm)."""
+    if M is None:
+        M = lambda r: r
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - A(x)
+    z = M(r)
+    p = z
+    rz = _vdot(r, z)
+    bnorm = jnp.linalg.norm(b)
+    tol2 = jnp.maximum(rtol * bnorm, atol) ** 2
+
+    def cond(state):
+        x, r, z, p, rz, k = state
+        return (jnp.real(_vdot(r, r)) > tol2) & (k < max_it)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Ap = A(p)
+        alpha = rz / _vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = _vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, z, p, rz_new, k + 1)
+
+    x, r, _, _, _, k = jax.lax.while_loop(cond, body, (x, r, z, p, rz, 0))
+    return x, k, jnp.linalg.norm(r)
+
+
+def bicgstab(A: Callable, b, M: Callable = None, x0=None, rtol=1e-8, atol=1e-12, max_it=10000):
+    if M is None:
+        M = lambda r: r
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - A(x)
+    rhat = r
+    rho = alpha = omega = jnp.ones((), dtype=b.dtype)
+    v = p = jnp.zeros_like(b)
+    bnorm = jnp.linalg.norm(b)
+    tol2 = jnp.maximum(rtol * bnorm, atol) ** 2
+
+    def cond(s):
+        x, r, p, v, rho, alpha, omega, k = s
+        return (jnp.real(_vdot(r, r)) > tol2) & (k < max_it)
+
+    def body(s):
+        x, r, p, v, rho, alpha, omega, k = s
+        rho_new = _vdot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        phat = M(p)
+        v = A(phat)
+        alpha = rho_new / _vdot(rhat, v)
+        s_vec = r - alpha * v
+        shat = M(s_vec)
+        t = A(shat)
+        omega = _vdot(t, s_vec) / _vdot(t, t)
+        x = x + alpha * phat + omega * shat
+        r = s_vec - omega * t
+        return (x, r, p, v, rho_new, alpha, omega, k + 1)
+
+    x, r, _, _, _, _, _, k = jax.lax.while_loop(cond, body, (x, r, p, v, rho, alpha, omega, 0))
+    return x, k, jnp.linalg.norm(r)
+
+
+def gmres(A: Callable, b, M: Callable = None, x0=None, rtol=1e-8, atol=1e-12, max_it=1000, restart=30):
+    """Left-preconditioned restarted GMRES via jax.scipy (no iteration count —
+    we report the residual-derived estimate)."""
+    from jax.scipy.sparse.linalg import gmres as _gmres
+
+    x, _ = _gmres(
+        A, b, x0=x0, tol=rtol, atol=atol, restart=restart, maxiter=max_it, M=M, solve_method="batched"
+    )
+    r = b - A(x)
+    return x, jnp.array(-1), jnp.linalg.norm(r)
+
+
+def jacobi_preconditioner(diag):
+    inv = jnp.where(diag != 0, 1.0 / diag, 1.0)
+    return lambda r: inv * r
+
+
+def chebyshev_preconditioner(A: Callable, diag, lmin_frac=0.06, lmax_safety=1.1, degree=3, n_power=12, probe=None):
+    """Chebyshev-Jacobi: Chebyshev polynomial of degree `degree` on the
+    Jacobi-preconditioned operator, with lambda_max from power iteration.
+    The AMG-lite stand-in for BoomerAMG (see SURVEY.md §7 hard part (e))."""
+    inv = jnp.where(diag != 0, 1.0 / diag, 1.0)
+
+    def DA(x):
+        return inv * A(x)
+
+    v = jnp.ones_like(diag) if probe is None else probe
+    for _ in range(n_power):
+        v = DA(v)
+        v = v / jnp.linalg.norm(v)
+    lmax = jnp.real(_vdot(v, DA(v))) * lmax_safety
+    lmin = lmin_frac * lmax
+    theta = (lmax + lmin) / 2
+    delta = (lmax - lmin) / 2
+
+    def M(r):
+        # Chebyshev iteration solving DA x = inv*r
+        rr = inv * r
+        x = rr / theta
+        if degree == 1:
+            return x
+        res = rr - DA(x)
+        d = res / theta
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        for _ in range(degree - 1):
+            rho_new = 1.0 / (2 * sigma - rho)
+            d = rho_new * rho * d + 2 * rho_new / delta * res
+            x = x + d
+            res = res - DA(d)
+            rho = rho_new
+        return x
+
+    return M
+
+
+def solve(A: Callable, b, options: SolverOptions, diag=None, x0=None):
+    """Dispatch on SolverOptions; returns (x, its, rnorm)."""
+    M = None
+    if options.pc_type == "jacobi" and diag is not None:
+        M = jacobi_preconditioner(diag)
+    elif options.pc_type == "chebyshev" and diag is not None:
+        M = chebyshev_preconditioner(A, diag, degree=options.cheb_degree)
+    kw = dict(M=M, x0=x0, rtol=options.rtol, atol=options.atol, max_it=options.max_it)
+    if options.ksp_type == "cg":
+        return cg(A, b, **kw)
+    if options.ksp_type == "bcgs":
+        return bicgstab(A, b, **kw)
+    if options.ksp_type == "gmres":
+        return gmres(A, b, **kw)
+    if options.ksp_type == "preonly":
+        # direct dense solve (small systems / tests)
+        raise ValueError("preonly requires an assembled matrix; use solve_dense")
+    raise ValueError(f"unknown ksp_type {options.ksp_type}")

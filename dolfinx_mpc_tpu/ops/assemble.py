@@ -1,0 +1,547 @@
+"""Constrained assembly: batched element tensors + dense per-cell K^T A K
+elimination + slot-scatter into static CSR.
+
+TPU-native rebuild of the reference assemblers:
+- matrix: /root/reference/cpp/assemble_matrix.cpp (hot loop :488-547,
+  `modify_mpc_cell` :100-268) — here the 3-way master-row/col/row-col scatter
+  becomes a dense batched `conj(T)^T A_e T` over slave cells only (SURVEY.md §7
+  step 4), which XLA maps onto the MXU.
+- vector: /root/reference/cpp/assemble_vector.cpp (`modify_mpc_vec`
+  assemble_vector.h:36-69) — `conj(T)^T b_e`.
+- lifting: /root/reference/cpp/lifting.h:441-670 — `b -= scale·conj(T)^T A_e (g-x0)`.
+
+All sparsity/slot/transformation tables are built ONCE on the host; the
+per-assembly path is a single jitted function of the coefficient/BC data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.forms import Form
+from ..fem.functionspace import DirichletBC, Function, FunctionSpace
+from ..la.sparse import CSRMatrix, SlotPattern, build_slot_pattern
+from ..multipointconstraint import MultiPointConstraint
+from .kernels import CompiledTerm, compile_term
+
+__all__ = [
+    "assemble_matrix",
+    "assemble_vector",
+    "apply_lifting",
+    "set_bc",
+    "create_sparsity_pattern",
+    "MPCMatrix",
+]
+
+
+# ---------------------------------------------------------------------------
+# per-cell transformation tables
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CellTransforms:
+    """Per-slave-cell elimination data for one (dofmap, mpc) pair.
+
+    slave_cell_mask: (n_cells,) bool
+    For the slave cells (in mesh order):
+      ext_dofs: (n_sc, W) int64, -1-padded — the cell's dofs followed by the
+          masters of its slaves (reference `modify_mpc_cell` scatters to the
+          same index set, assemble_matrix.cpp:119-201).
+      T: (n_sc, nd, W) — local prolongation K_e: identity columns for
+          non-slave dofs, coefficient columns for masters; slave columns zero.
+    """
+
+    slave_cell_mask: np.ndarray
+    cell_pos: np.ndarray  # (n_cells,) position within slave-cell list or -1
+    ext_dofs: np.ndarray
+    T: np.ndarray
+
+
+def _build_cell_transforms(V: FunctionSpace, mpc: Optional[MultiPointConstraint], dtype) -> CellTransforms:
+    dm = V.dofmap  # (n_cells, nd) unrolled
+    n_cells, nd = dm.shape
+    if mpc is None or mpc.num_local_slaves == 0:
+        return CellTransforms(
+            np.zeros(n_cells, bool), -np.ones(n_cells, np.int64), np.zeros((0, nd), np.int64), np.zeros((0, nd, nd), dtype)
+        )
+    is_slave = mpc.is_slave
+    slave_pos = -np.ones(V.num_dofs, dtype=np.int64)
+    slave_pos[mpc.slaves] = np.arange(mpc.num_local_slaves)
+    cell_is_slave = is_slave[dm].any(axis=1)
+    sc = np.flatnonzero(cell_is_slave)
+    masters_tab = np.asarray(mpc.finalized.masters)
+    coeffs_tab = np.asarray(mpc.finalized.coeffs)
+    # width: nd + total master slots of slaves in the cell (padded max)
+    n_masters_per_slave = (coeffs_tab != 0).sum(axis=1)
+    extra = np.array(
+        [n_masters_per_slave[slave_pos[dm[c]][slave_pos[dm[c]] >= 0]].sum() for c in sc],
+        dtype=np.int64,
+    )
+    W = nd + (int(extra.max()) if extra.size else 0)
+    ext = -np.ones((len(sc), W), dtype=np.int64)
+    T = np.zeros((len(sc), nd, W), dtype=dtype)
+    for k, c in enumerate(sc):
+        dofs = dm[c]
+        ext[k, :nd] = dofs
+        ptr = nd
+        for i, d in enumerate(dofs):
+            sp = slave_pos[d]
+            if sp < 0:
+                T[k, i, i] = 1
+            else:
+                nm = n_masters_per_slave[sp]
+                ext[k, ptr : ptr + nm] = masters_tab[sp, :nm]
+                T[k, i, ptr : ptr + nm] = coeffs_tab[sp, :nm]
+                ptr += nm
+        # slave-dof positions in ext are invalid (-1): their T column is zero,
+        # so their global rows/cols receive no contribution (diagval is added
+        # separately, mirroring assemble_matrix.cpp:711-724)
+        for i, d in enumerate(dofs):
+            if slave_pos[d] >= 0:
+                ext[k, i] = -1
+    cell_pos = -np.ones(n_cells, dtype=np.int64)
+    cell_pos[sc] = np.arange(len(sc))
+    return CellTransforms(cell_is_slave, cell_pos, ext, T)
+
+
+# ---------------------------------------------------------------------------
+# compiled forms (cached on the Form object)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CompiledMatrixForm:
+    form: Form
+    terms: list  # CompiledTerm
+    tr_row: CellTransforms
+    tr_col: CellTransforms
+    pattern: SlotPattern
+    slots_dev: object  # concatenated slot array (device)
+    tables: dict  # device arrays per term
+    slaves_row: np.ndarray
+    assemble_fn: object
+
+
+def _mpc_pair(constraint):
+    if constraint is None:
+        return None, None
+    if isinstance(constraint, (list, tuple)):
+        return constraint[0], constraint[1]
+    return constraint, constraint
+
+
+def _coeff_vectors(term):
+    return {n: jnp.asarray(f.x.array) for n, f in term.coefficients.items()}
+
+
+def _compile_matrix(form: Form, constraint, dtype) -> CompiledMatrixForm:
+    mpc_r, mpc_c = _mpc_pair(constraint)
+    Vt, Vs = form.test_space, form.trial_space
+    tr_row = _build_cell_transforms(Vt, mpc_r, dtype)
+    tr_col = _build_cell_transforms(Vs, mpc_c, dtype)
+    terms = [compile_term(t, Vt, Vs) for t in form.terms]
+    mesh = Vt.mesh
+    points = mesh.points
+
+    batches = []  # (rows, cols) host arrays in registration order
+    masks = []
+    tables = {"terms": []}
+    for ct in terms:
+        cells = ct.cells
+        sl = tr_row.slave_cell_mask[cells] | tr_col.slave_cell_mask[cells]
+        idx_ns = np.flatnonzero(~sl)
+        idx_sl = np.flatnonzero(sl)
+        dmr = Vt.dofmap[cells]
+        dmc = Vs.dofmap[cells]
+        # non-slave batch
+        r_ns = np.broadcast_to(dmr[idx_ns][:, :, None], (len(idx_ns), dmr.shape[1], dmc.shape[1]))
+        c_ns = np.broadcast_to(dmc[idx_ns][:, None, :], r_ns.shape)
+        batches.append((r_ns, c_ns))
+        masks.append(None)
+        # slave batch: ext_row x ext_col
+        pr = tr_row.cell_pos[cells[idx_sl]]
+        pc = tr_col.cell_pos[cells[idx_sl]]
+        # cells slave only on one side: use identity ext = own dofs
+        er = _ext_or_identity(tr_row, pr, dmr[idx_sl])
+        ecol = _ext_or_identity(tr_col, pc, dmc[idx_sl])
+        r_sl = np.broadcast_to(er[:, :, None], (len(idx_sl), er.shape[1], ecol.shape[1]))
+        c_sl = np.broadcast_to(ecol[:, None, :], r_sl.shape)
+        batches.append((r_sl, c_sl))
+        masks.append((r_sl >= 0) & (c_sl >= 0))
+
+        Tr = _T_or_identity(tr_row, pr, dmr.shape[1], er.shape[1], dtype)
+        Tc = _T_or_identity(tr_col, pc, dmc.shape[1], ecol.shape[1], dtype)
+        coords_act = points[mesh.cells[cells]]
+        lf = ct.local_facets if ct.local_facets is not None else np.zeros(len(cells), np.int32)
+        tables["terms"].append(
+            dict(
+                coords=jnp.asarray(coords_act, dtype=_real_dtype(dtype)),
+                lf=jnp.asarray(lf),
+                idx_ns=jnp.asarray(idx_ns, jnp.int32),
+                idx_sl=jnp.asarray(idx_sl, jnp.int32),
+                Tr=jnp.asarray(Tr),
+                Tc=jnp.asarray(Tc),
+                dmr=jnp.asarray(dmr, jnp.int32),
+                dmc=jnp.asarray(dmc, jnp.int32),
+                wdofmaps={
+                    n: jnp.asarray(W.dofmap[cells], jnp.int32)
+                    for n, W in zip(ct.coeff_names, ct.coeff_spaces)
+                },
+            )
+        )
+
+    # slave diagonal + bc diagonal slots
+    slaves_row = mpc_r.slaves if (mpc_r is not None and mpc_r.num_local_slaves) else np.zeros(0, np.int64)
+    batches.append((slaves_row, slaves_row))
+    masks.append(None)
+    all_dofs = np.arange(Vt.num_dofs, dtype=np.int64)
+    batches.append((all_dofs, all_dofs))  # bc diagonal: every diagonal entry available
+    masks.append(None)
+
+    pattern = build_slot_pattern((Vt.num_dofs, Vs.num_dofs), batches, masks)
+    slots_dev = [jnp.asarray(s) for s in pattern.slots]
+    nnz = pattern.nnz
+
+    n_terms = len(terms)
+    kernels = [ct.kernel for ct in terms]
+
+    def assemble_fn(tabs, coeff_vecs, bc_row_mask, bc_col_mask, bc_diag_vals, diagval):
+        vals_out = []
+        for ti in range(n_terms):
+            tb = tabs["terms"][ti]
+            wlocals = {
+                n: coeff_vecs[ti][n][tb["wdofmaps"][n]] for n in coeff_vecs[ti]
+            }
+            Ae = kernels[ti](tb["coords"], tb["lf"], wlocals)  # (n_act, ndt, nds)
+            # BC rows/cols zeroing (reference assemble_matrix.cpp:513-533)
+            mr = 1.0 - bc_row_mask[tb["dmr"]]
+            mc = 1.0 - bc_col_mask[tb["dmc"]]
+            Ae = Ae * mr[:, :, None] * mc[:, None, :]
+            Ae_ns = Ae[tb["idx_ns"]]
+            Ae_sl = Ae[tb["idx_sl"]]
+            Aep = jnp.einsum(
+                "ciw,cij,cjv->cwv", jnp.conj(tb["Tr"]), Ae_sl, tb["Tc"],
+                preferred_element_type=Ae.dtype,
+            )
+            vals_out.append(Ae_ns.reshape(-1))
+            vals_out.append(Aep.reshape(-1))
+        vals_out.append(jnp.full((slaves_row.shape[0],), diagval, dtype=vals_out[0].dtype if vals_out else jnp.asarray(diagval).dtype))
+        vals_out.append(bc_diag_vals)
+        flat_vals = jnp.concatenate(vals_out) if vals_out else jnp.zeros(0)
+        flat_slots = jnp.concatenate(slots_dev)
+        data = jax.ops.segment_sum(flat_vals, flat_slots, num_segments=nnz + 1)
+        return data[:nnz]
+
+    return CompiledMatrixForm(
+        form, terms, tr_row, tr_col, pattern, slots_dev, tables, slaves_row, jax.jit(assemble_fn)
+    )
+
+
+def _ext_or_identity(tr: CellTransforms, pos, dm_sub):
+    """ext dof rows for cells that are slave on this side, else the plain
+    dofs padded to width W."""
+    W = tr.ext_dofs.shape[1] if tr.ext_dofs.size else dm_sub.shape[1]
+    W = max(W, dm_sub.shape[1])
+    out = -np.ones((len(pos), W), dtype=np.int64)
+    for k, p in enumerate(pos):
+        if p >= 0:
+            out[k, : tr.ext_dofs.shape[1]] = tr.ext_dofs[p]
+        else:
+            out[k, : dm_sub.shape[1]] = dm_sub[k]
+    return out
+
+
+def _T_or_identity(tr: CellTransforms, pos, nd, W, dtype):
+    out = np.zeros((len(pos), nd, W), dtype=dtype)
+    eye = np.eye(nd, dtype=dtype)
+    for k, p in enumerate(pos):
+        if p >= 0:
+            out[k, :, : tr.T.shape[2]] = tr.T[p]
+        else:
+            out[k, :, :nd] = eye
+    return out
+
+
+def _real_dtype(dtype):
+    dt = np.dtype(dtype)
+    return np.float32 if dt in (np.dtype(np.float32), np.dtype(np.complex64)) else np.float64
+
+
+def _bc_masks(V: FunctionSpace, bcs, dtype):
+    mask = np.zeros(V.num_dofs, dtype=_real_dtype(dtype))
+    for bc in bcs:
+        mask[bc.dofs] = 1.0
+    return mask
+
+
+def _bc_values(V: FunctionSpace, bcs, dtype):
+    g = np.zeros(V.num_dofs, dtype=dtype)
+    for bc in bcs:
+        g[bc.dofs] = bc.dof_values(dtype)
+    return g
+
+
+# ---------------------------------------------------------------------------
+# public API (mirrors reference python/src/dolfinx_mpc/assemble_matrix.py)
+# ---------------------------------------------------------------------------
+
+
+class MPCMatrix(CSRMatrix):
+    """Assembled constrained matrix; CSR with the K^H A K structure plus
+    diagval on slave/bc diagonals."""
+
+
+_matrix_cache: dict = {}
+
+
+def _get_compiled_matrix(form, constraint, dtype):
+    key = (id(form), tuple(id(m) for m in (constraint if isinstance(constraint, (list, tuple)) else [constraint])), np.dtype(dtype).str)
+    cm = _matrix_cache.get(key)
+    if cm is None:
+        cm = _compile_matrix(form, constraint, dtype)
+        _matrix_cache[key] = cm
+    return cm
+
+
+def assemble_matrix(form: Form, constraint=None, bcs=None, diagval=1.0, dtype=None) -> MPCMatrix:
+    """Assemble a bilinear form with MPC elimination and Dirichlet handling
+    (reference assemble_matrix.py:21-65).  `constraint` may be one MPC or a
+    pair (row, col) for rectangular assembly (:44-46)."""
+    bcs = bcs or []
+    mpc_r, mpc_c = _mpc_pair(constraint)
+    if dtype is None:
+        dtype = mpc_r.dtype if mpc_r is not None else np.float64
+    cm = _get_compiled_matrix(form, constraint, dtype)
+    Vt, Vs = form.test_space, form.trial_space
+    bc_row = jnp.asarray(_bc_masks(Vt, bcs, dtype))
+    bc_col = jnp.asarray(_bc_masks(Vs, bcs, dtype)) if Vs is not Vt else bc_row
+    # diagonal: diagval where bc (square forms only)
+    bc_diag = np.zeros(Vt.num_dofs, dtype=dtype)
+    if Vt.num_dofs == Vs.num_dofs:
+        for bc in bcs:
+            bc_diag[bc.dofs] = diagval
+    coeff_vecs = [ _coeff_vectors(t.term) for t in cm.terms ]
+    data = cm.assemble_fn(cm.tables, coeff_vecs, bc_row, bc_col, jnp.asarray(bc_diag), jnp.asarray(diagval, dtype=dtype))
+    return MPCMatrix(
+        data,
+        jnp.asarray(cm.pattern.indices),
+        jnp.asarray(cm.pattern.indptr),
+        jnp.asarray(cm.pattern.row_ids),
+        cm.pattern.shape,
+    )
+
+
+def create_sparsity_pattern(form: Form, mpc) -> SlotPattern:
+    """Reference create_sparsity_pattern (cpp/utils.h:382-496)."""
+    mpc_r, _ = _mpc_pair(mpc)
+    dtype = mpc_r.dtype if mpc_r is not None else np.float64
+    return _get_compiled_matrix(form, mpc, dtype).pattern
+
+
+# ---------------------------------------------------------------------------
+# vectors
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CompiledVectorForm:
+    form: Form
+    terms: list
+    tr_row: CellTransforms
+    tables: dict
+    assemble_fn: object
+
+
+_vector_cache: dict = {}
+
+
+def _compile_vector(form: Form, constraint, dtype) -> CompiledVectorForm:
+    mpc_r, _ = _mpc_pair(constraint)
+    Vt = form.test_space
+    tr_row = _build_cell_transforms(Vt, mpc_r, dtype)
+    terms = [compile_term(t, Vt, None) for t in form.terms]
+    mesh = Vt.mesh
+    points = mesh.points
+    tables = {"terms": []}
+    ndofs = Vt.num_dofs
+    for ct in terms:
+        cells = ct.cells
+        sl = tr_row.slave_cell_mask[cells]
+        idx_ns = np.flatnonzero(~sl)
+        idx_sl = np.flatnonzero(sl)
+        dmr = Vt.dofmap[cells]
+        pr = tr_row.cell_pos[cells[idx_sl]]
+        er = _ext_or_identity(tr_row, pr, dmr[idx_sl])
+        Tr = _T_or_identity(tr_row, pr, dmr.shape[1], er.shape[1], dtype)
+        lf = ct.local_facets if ct.local_facets is not None else np.zeros(len(cells), np.int32)
+        # scatter targets: invalid (-1) -> trash slot ndofs
+        tgt_ns = dmr[idx_ns].astype(np.int64)
+        tgt_sl = np.where(er >= 0, er, ndofs)
+        tables["terms"].append(
+            dict(
+                coords=jnp.asarray(points[mesh.cells[cells]], dtype=_real_dtype(dtype)),
+                lf=jnp.asarray(lf),
+                idx_ns=jnp.asarray(idx_ns, jnp.int32),
+                idx_sl=jnp.asarray(idx_sl, jnp.int32),
+                Tr=jnp.asarray(Tr),
+                tgt_ns=jnp.asarray(tgt_ns, jnp.int32),
+                tgt_sl=jnp.asarray(tgt_sl, jnp.int32),
+                wdofmaps={
+                    n: jnp.asarray(W.dofmap[cells], jnp.int32)
+                    for n, W in zip(ct.coeff_names, ct.coeff_spaces)
+                },
+            )
+        )
+    kernels = [ct.kernel for ct in terms]
+    n_terms = len(terms)
+
+    def assemble_fn(tabs, coeff_vecs):
+        b = jnp.zeros(ndofs + 1, dtype=dtype)
+        for ti in range(n_terms):
+            tb = tabs["terms"][ti]
+            wlocals = {n: coeff_vecs[ti][n][tb["wdofmaps"][n]] for n in coeff_vecs[ti]}
+            be = kernels[ti](tb["coords"], tb["lf"], wlocals)  # (n_act, ndt)
+            be_ns = be[tb["idx_ns"]]
+            be_sl = be[tb["idx_sl"]]
+            bep = jnp.einsum("ciw,ci->cw", jnp.conj(tb["Tr"]), be_sl)
+            b = b.at[tb["tgt_ns"].reshape(-1)].add(be_ns.reshape(-1))
+            b = b.at[tb["tgt_sl"].reshape(-1)].add(bep.reshape(-1))
+        return b[:ndofs]
+
+    return CompiledVectorForm(form, terms, tr_row, tables, jax.jit(assemble_fn))
+
+
+def _get_compiled_vector(form, constraint, dtype):
+    key = (id(form), id(constraint), np.dtype(dtype).str)
+    cv = _vector_cache.get(key)
+    if cv is None:
+        cv = _compile_vector(form, constraint, dtype)
+        _vector_cache[key] = cv
+    return cv
+
+
+def assemble_vector(form: Form, constraint=None, b=None, dtype=None):
+    """Assemble a linear form with the K^H b MPC redistribution
+    (reference assemble_vector.py:79-104)."""
+    if dtype is None:
+        dtype = constraint.dtype if constraint is not None else np.float64
+    cv = _get_compiled_vector(form, constraint, dtype)
+    coeff_vecs = [_coeff_vectors(t.term) for t in cv.terms]
+    out = cv.assemble_fn(cv.tables, coeff_vecs)
+    if b is not None:
+        return b + out
+    return out
+
+
+# ---------------------------------------------------------------------------
+# lifting + set_bc
+# ---------------------------------------------------------------------------
+
+
+_lifting_cache: dict = {}
+
+
+def _compile_lifting(form: Form, constraint, dtype):
+    """Per-cell: be = -Ae @ g_cell (raw Ae, no bc zeroing), then conj(T)^T be
+    (reference lifting.h:250-301 + modify_mpc_vec at :117-128)."""
+    mpc_r, mpc_c = _mpc_pair(constraint)
+    Vt, Vs = form.test_space, form.trial_space
+    tr_row = _build_cell_transforms(Vt, mpc_r, dtype)
+    terms = [compile_term(t, Vt, Vs) for t in form.terms]
+    mesh = Vt.mesh
+    points = mesh.points
+    ndofs = Vt.num_dofs
+    tables = {"terms": []}
+    for ct in terms:
+        cells = ct.cells
+        sl = tr_row.slave_cell_mask[cells]
+        idx_ns = np.flatnonzero(~sl)
+        idx_sl = np.flatnonzero(sl)
+        dmr = Vt.dofmap[cells]
+        dmc = Vs.dofmap[cells]
+        pr = tr_row.cell_pos[cells[idx_sl]]
+        er = _ext_or_identity(tr_row, pr, dmr[idx_sl])
+        Tr = _T_or_identity(tr_row, pr, dmr.shape[1], er.shape[1], dtype)
+        lf = ct.local_facets if ct.local_facets is not None else np.zeros(len(cells), np.int32)
+        tables["terms"].append(
+            dict(
+                coords=jnp.asarray(points[mesh.cells[cells]], dtype=_real_dtype(dtype)),
+                lf=jnp.asarray(lf),
+                idx_ns=jnp.asarray(idx_ns, jnp.int32),
+                idx_sl=jnp.asarray(idx_sl, jnp.int32),
+                Tr=jnp.asarray(Tr),
+                dmr=jnp.asarray(dmr, jnp.int32),
+                dmc=jnp.asarray(dmc, jnp.int32),
+                tgt_ns=jnp.asarray(dmr[idx_ns].astype(np.int64), jnp.int32),
+                tgt_sl=jnp.asarray(np.where(er >= 0, er, ndofs), jnp.int32),
+                wdofmaps={
+                    n: jnp.asarray(W.dofmap[cells], jnp.int32)
+                    for n, W in zip(ct.coeff_names, ct.coeff_spaces)
+                },
+            )
+        )
+    kernels = [ct.kernel for ct in terms]
+    n_terms = len(terms)
+
+    def lift_fn(tabs, coeff_vecs, gvec, bc_col_mask, x0, scale):
+        b = jnp.zeros(ndofs + 1, dtype=dtype)
+        for ti in range(n_terms):
+            tb = tabs["terms"][ti]
+            wlocals = {n: coeff_vecs[ti][n][tb["wdofmaps"][n]] for n in coeff_vecs[ti]}
+            Ae = kernels[ti](tb["coords"], tb["lf"], wlocals)
+            gcell = (gvec - x0)[tb["dmc"]] * bc_col_mask[tb["dmc"]].astype(gvec.dtype)
+            be = -scale * jnp.einsum("cij,cj->ci", Ae, gcell)
+            be_ns = be[tb["idx_ns"]]
+            bep = jnp.einsum("ciw,ci->cw", jnp.conj(tb["Tr"]), be[tb["idx_sl"]])
+            b = b.at[tb["tgt_ns"].reshape(-1)].add(be_ns.reshape(-1))
+            b = b.at[tb["tgt_sl"].reshape(-1)].add(bep.reshape(-1))
+        return b[:ndofs]
+
+    return terms, tables, jax.jit(lift_fn)
+
+
+def apply_lifting(b, forms, bcs_list, constraint=None, x0=None, scale=1.0, dtype=None):
+    """b <- b - scale * K^H A (g - x0): reference assemble_vector.py:25-76 /
+    cpp/lifting.h:441-670.  `forms` is a list of bilinear forms, `bcs_list` a
+    list of bc-lists (one per form)."""
+    if dtype is None:
+        dtype = constraint.dtype if constraint is not None else np.asarray(b).dtype
+    b = jnp.asarray(b)
+    for form, bcs in zip(forms, bcs_list):
+        if not bcs:
+            continue
+        key = (id(form), id(constraint), np.dtype(dtype).str)
+        ct = _lifting_cache.get(key)
+        if ct is None:
+            ct = _compile_lifting(form, constraint, dtype)
+            _lifting_cache[key] = ct
+        terms, tables, lift_fn = ct
+        Vs = form.trial_space
+        gvec = jnp.asarray(_bc_values(Vs, bcs, dtype))
+        bc_col = jnp.asarray(_bc_masks(Vs, bcs, dtype))
+        x0v = jnp.zeros_like(gvec) if x0 is None else jnp.asarray(x0, dtype=dtype)
+        coeff_vecs = [_coeff_vectors(t.term) for t in terms]
+        b = b + lift_fn(tables, coeff_vecs, gvec, bc_col, x0v, jnp.asarray(scale, dtype=dtype))
+    return b
+
+
+def set_bc(b, bcs, x0=None, scale=1.0):
+    """b[bc] = scale * (g - x0)[bc] (PETSc set_bc semantics used at
+    reference problem.py:576-581)."""
+    b = jnp.asarray(b)
+    if not bcs:
+        return b
+    V = bcs[0].V
+    g = _bc_values(V, bcs, np.asarray(b).dtype)
+    dofs = np.concatenate([bc.dofs for bc in bcs])
+    gd = jnp.asarray(g)[dofs]
+    if x0 is not None:
+        gd = gd - jnp.asarray(x0)[dofs]
+    return b.at[jnp.asarray(dofs)].set(scale * gd)
