@@ -1,0 +1,66 @@
+"""dolfinx_mpc_tpu: TPU-native constrained finite elements.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of
+jorgensd/dolfinx_mpc (multi-point constraints enforced via element-level
+K^T A K elimination during assembly) — see SURVEY.md for the structural map.
+The public surface mirrors the reference package
+(/root/reference/python/src/dolfinx_mpc/__init__.py:29-41) plus the mini-FEM
+substrate that replaces DOLFINx.
+"""
+
+from .fem import cells, forms, mesh
+from .fem.forms import BilinearForm, Form, LinearForm, derivative
+from .fem.functionspace import (
+    DirichletBC,
+    Function,
+    FunctionSpace,
+    dirichletbc,
+    functionspace,
+    locate_dofs_geometrical,
+    locate_dofs_topological,
+)
+from .multipointconstraint import FinalizedMPC, MPCData, MultiPointConstraint
+from .ops.assemble import (
+    apply_lifting,
+    assemble_matrix,
+    assemble_vector,
+    create_sparsity_pattern,
+    set_bc,
+)
+from .ops.nest import (
+    assemble_matrix_nest,
+    assemble_vector_nest,
+    create_matrix_nest,
+    create_vector_nest,
+)
+from .problem import LinearProblem, NonlinearProblem
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "assemble_matrix",
+    "create_matrix_nest",
+    "assemble_matrix_nest",
+    "assemble_vector",
+    "apply_lifting",
+    "assemble_vector_nest",
+    "create_vector_nest",
+    "MultiPointConstraint",
+    "LinearProblem",
+    "create_sparsity_pattern",
+    "NonlinearProblem",
+    "set_bc",
+    "MPCData",
+    "FinalizedMPC",
+    "Function",
+    "FunctionSpace",
+    "functionspace",
+    "dirichletbc",
+    "DirichletBC",
+    "locate_dofs_geometrical",
+    "locate_dofs_topological",
+    "BilinearForm",
+    "LinearForm",
+    "Form",
+    "derivative",
+]
