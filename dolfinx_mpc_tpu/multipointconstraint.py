@@ -192,10 +192,18 @@ class MultiPointConstraint:
         slaves = np.asarray(self._slaves, dtype=np.int64)
         if len(np.unique(slaves)) != n_s:
             raise ValueError("duplicate slave dofs in constraint")
-        mm = max(len(m) for m in self._masters)
+        # compact away explicit zero-coefficient masters (algebraically inert;
+        # e.g. slip conditions with axis-aligned normals produce them) so that
+        # the padded tables satisfy "first k columns are the real masters",
+        # which assembly's count-based slicing relies on.
+        comp = [
+            (np.asarray(m)[np.asarray(c) != 0], np.asarray(c)[np.asarray(c) != 0])
+            for m, c in zip(self._masters, self._coeffs)
+        ]
+        mm = max(max((len(m) for m, _ in comp), default=1), 1)
         masters = np.zeros((n_s, mm), dtype=np.int64)
         coeffs = np.zeros((n_s, mm), dtype=self.dtype)
-        for i, (m, c) in enumerate(zip(self._masters, self._coeffs)):
+        for i, (m, c) in enumerate(comp):
             masters[i, : len(m)] = m
             coeffs[i, : len(c)] = c
         is_slave = np.zeros(num_dofs, dtype=bool)
