@@ -181,7 +181,12 @@ def create_rectangle(p0, p1, n, cell_type: str = CellType.triangle) -> Mesh:
             else:
                 cells.append([v00, v10, v11])
                 cells.append([v00, v11, v01])
-    return Mesh(pts, np.asarray(cells, dtype=np.int32), cell_type)
+    m = Mesh(pts, np.asarray(cells, dtype=np.int32), cell_type)
+    # cells are ordered (i, j, t): mark for the lattice fast path (ops/lattice.py)
+    from ..ops.lattice import attach_lattice_info
+
+    attach_lattice_info(m, (nx, ny, 0), 1 if cell_type == CellType.quadrilateral else 2)
+    return m
 
 
 def create_unit_square(nx: int, ny: int, cell_type: str = CellType.triangle) -> Mesh:
@@ -230,7 +235,12 @@ def create_box(p0, p1, n, cell_type: str = CellType.tetrahedron) -> Mesh:
                 else:
                     for t in _KUHN_TETS:
                         cells.append([h[a] for a in t])
-    return Mesh(pts, np.asarray(cells, dtype=np.int32), cell_type)
+    m = Mesh(pts, np.asarray(cells, dtype=np.int32), cell_type)
+    # cells are ordered (i, j, k, t): mark for the lattice fast path
+    from ..ops.lattice import attach_lattice_info
+
+    attach_lattice_info(m, (nx, ny, nz), 1 if cell_type == CellType.hexahedron else len(_KUHN_TETS))
+    return m
 
 
 def create_unit_cube(nx: int, ny: int, nz: int, cell_type: str = CellType.tetrahedron) -> Mesh:

@@ -1,0 +1,404 @@
+"""Lattice fast path: scatter-free assembly + roll-based SpMV for structured
+box meshes.
+
+The reference assembles every mesh through PETSc's dynamic-insertion CSR
+machinery (/root/reference/cpp/assemble_matrix.cpp + MatSetValuesLocal).  On
+TPU the scatter-add that a general CSR assembly needs (`segment_sum`) is the
+single slowest op (measured ~46ms for 3.1M entries on v5e — ~1000x off the
+HBM roofline).  For the structured box meshes used by every reference
+benchmark (bench_periodic.py, bench_elasticity*.py, bench_contact_3D.py) the
+sparsity is a *stencil*: the (cell, a, b) -> matrix-entry map collapses to a
+fixed set of lattice diagonal offsets.  Assembly then becomes ~[cell-types x
+nd^2] static padded slice-adds (pure VPU/HBM streaming, no gather, no
+scatter), and SpMV becomes shifted elementwise FMAs — both at the memory
+roofline, which is what "TPU-native" means for this workload.
+
+MPC slave cells break the stencil; their eliminated `K^H A_e K` contributions
+(and any Dirichlet diagonal) go into a small CSR *side* matrix built with the
+general slot machinery over the O(surface) slave cells only:
+
+    A = DIA(stencil part, slave-cell rows/cols excluded) + CSR(side)
+
+which is algebraically identical to the reference's elimination-during-
+assembly (assemble_matrix.cpp:100-268) and is verified against the
+K^H A K oracle in tests/test_lattice.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.forms import Form
+from ..fem.functionspace import FunctionSpace
+from ..la.sparse import build_slot_pattern
+from ..multipointconstraint import MultiPointConstraint
+from .assemble import (
+    _bc_masks,
+    _bc_values,
+    _build_cell_transforms,
+    _mpc_pair,
+    _real_dtype,
+)
+from .kernels import compile_term
+
+__all__ = ["LatticeInfo", "attach_lattice_info", "DIAMatrix", "LatticeOperator", "assemble_matrix_lattice"]
+
+
+@dataclass
+class LatticeInfo:
+    """Structured-box metadata: cells are ordered (i, j, k, t) with t the
+    sub-cell index (6 Kuhn tets or 1 hex), vertices lex-ordered
+    (i*(ny+1) + j)*(nz+1) + k.  Attached by the create_box/create_rectangle
+    generators in fem/mesh.py."""
+
+    dims: tuple  # (nx, ny, nz) cells per axis (nz=0 for 2D)
+    cells_per_box: int  # 6 tet / 1 hex / 2 tri / 1 quad
+
+
+def attach_lattice_info(mesh, dims, cells_per_box):
+    mesh._cache["lattice"] = LatticeInfo(tuple(dims), cells_per_box)
+
+
+def get_lattice_info(mesh) -> Optional[LatticeInfo]:
+    return mesh._cache.get("lattice")
+
+
+# ---------------------------------------------------------------------------
+# DIA matrix: data per diagonal offset over the vertex lattice
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class DIAMatrix:
+    """Stencil matrix over an (n0, n1, n2) vertex lattice with `bs` dof
+    components per vertex.
+
+    data: (n_off, bs, bs, n0, n1, n2) — entry A[(v, ci), (v+off_d, cj)] =
+    data[d, ci, cj, v].  Matvec = shifted slice FMAs (no gather/scatter).
+    """
+
+    def __init__(self, data, offsets, vshape, bs):
+        self.data = data
+        self.offsets = offsets  # host tuple of (do, dj, dk)
+        self.vshape = vshape
+        self.bs = bs
+
+    def tree_flatten(self):
+        return (self.data,), (self.offsets, self.vshape, self.bs)
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(ch[0], *aux)
+
+    @property
+    def shape(self):
+        n = int(np.prod(self.vshape)) * self.bs
+        return (n, n)
+
+    def matvec(self, x):
+        n0, n1, n2 = self.vshape
+        bs = self.bs
+        # (bs, n0, n1, n2) component-major grids: every op below is a static
+        # slice + FMA — no einsum (a bs=1 einsum lowers to batched 1x1
+        # dot_generals, ~1000x slower than the elementwise form on TPU)
+        xg = jnp.moveaxis(x.reshape(n0, n1, n2, bs), -1, 0)
+        y = jnp.zeros_like(xg)
+        for d, (di, dj, dk) in enumerate(self.offsets):
+            dst = (
+                slice(max(-di, 0), n0 - max(di, 0)),
+                slice(max(-dj, 0), n1 - max(dj, 0)),
+                slice(max(-dk, 0), n2 - max(dk, 0)),
+            )
+            src = (
+                slice(max(di, 0), n0 + min(di, 0)),
+                slice(max(dj, 0), n1 + min(dj, 0)),
+                slice(max(dk, 0), n2 + min(dk, 0)),
+            )
+            for ci in range(bs):
+                acc = None
+                for cj in range(bs):
+                    term = self.data[(d, ci, cj) + dst] * xg[(cj,) + src]
+                    acc = term if acc is None else acc + term
+                y = y.at[(ci,) + dst].add(acc)
+        return jnp.moveaxis(y, 0, -1).reshape(-1)
+
+    def diagonal(self):
+        for d, off in enumerate(self.offsets):
+            if off == (0, 0, 0):
+                # (bs, bs, n0, n1, n2) -> interleaved (n*bs,)
+                blk = self.data[d]
+                diag = jnp.diagonal(blk, axis1=0, axis2=1)  # (n0, n1, n2, bs)
+                return diag.reshape(-1)
+        return jnp.zeros(self.shape[0], self.data.dtype)
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        n0, n1, n2 = self.vshape
+        bs = self.bs
+        N = n0 * n1 * n2 * bs
+        rows, cols, vals = [], [], []
+        data = np.asarray(self.data)
+        I, J, K = np.meshgrid(np.arange(n0), np.arange(n1), np.arange(n2), indexing="ij")
+        vid = (I * n1 + J) * n2 + K
+        for d, (di, dj, dk) in enumerate(self.offsets):
+            m = (
+                (I + di >= 0) & (I + di < n0)
+                & (J + dj >= 0) & (J + dj < n1)
+                & (K + dk >= 0) & (K + dk < n2)
+            )
+            r = vid[m]
+            c = ((I + di) * n1 + (J + dj)) * n2 + (K + dk)
+            c = c[m]
+            for ci in range(bs):
+                for cj in range(bs):
+                    v = data[d, ci, cj][m]
+                    rows.append(r * bs + ci)
+                    cols.append(c * bs + cj)
+                    vals.append(v)
+        return sp.csr_matrix(
+            (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))), shape=(N, N)
+        )
+
+
+@jax.tree_util.register_pytree_node_class
+class LatticeOperator:
+    """DIA stencil + small CSR side matrix (MPC/BC corrections)."""
+
+    def __init__(self, dia: DIAMatrix, side_data, side_cols, side_rows, side_nrows):
+        self.dia = dia
+        self.side_data = side_data
+        self.side_cols = side_cols
+        self.side_rows = side_rows
+        self.side_nrows = side_nrows
+
+    def tree_flatten(self):
+        return (self.dia, self.side_data), (self.side_cols, self.side_rows, self.side_nrows)
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(ch[0], ch[1], *aux)
+
+    @property
+    def shape(self):
+        return self.dia.shape
+
+    def matvec(self, x):
+        y = self.dia.matvec(x)
+        if self.side_data.shape[0]:
+            prod = self.side_data * x[self.side_cols]
+            y = y + jax.ops.segment_sum(prod, self.side_rows, num_segments=self.shape[0])
+        return y
+
+    def diagonal(self):
+        d = self.dia.diagonal()
+        if self.side_data.shape[0]:
+            is_diag = self.side_rows == self.side_cols
+            d = d + jax.ops.segment_sum(
+                jnp.where(is_diag, self.side_data, 0), self.side_rows, num_segments=self.shape[0]
+            )
+        return d
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        A = self.dia.to_scipy().tolil()
+        side = sp.csr_matrix(
+            (np.asarray(self.side_data), (np.asarray(self.side_rows), np.asarray(self.side_cols))),
+            shape=self.shape,
+        )
+        return (A.tocsr() + side).tocsr()
+
+
+# ---------------------------------------------------------------------------
+# assembly
+# ---------------------------------------------------------------------------
+
+
+def _vertex_delta_table(mesh, lat: LatticeInfo):
+    """For each sub-cell type t and local vertex a: the lattice delta
+    (di, dj, dk) of that vertex relative to the cell's base corner (derived
+    from the generator's vertex-id arithmetic in fem/mesh.py)."""
+    nx, ny, nz = lat.dims
+    n1, n2 = ny + 1, max(nz + 1, 1)
+    deltas = np.empty((lat.cells_per_box, mesh.cells.shape[1], 3), dtype=np.int64)
+    for t in range(lat.cells_per_box):
+        verts = mesh.cells[t]  # cell t of box (0,0,0): vertex ids ARE the deltas
+        for a, v in enumerate(verts):
+            i = v // (n1 * n2)
+            j = (v % (n1 * n2)) // n2
+            k = v % n2
+            deltas[t, a] = (i, j, k)
+    return deltas
+
+
+def assemble_matrix_lattice(
+    form: Form,
+    constraint: Optional[MultiPointConstraint] = None,
+    bcs=None,
+    diagval=1.0,
+    dtype=np.float64,
+):
+    """Assemble a bilinear form on a lattice mesh into DIA + side-CSR.
+
+    Returns (LatticeOperator builder closure, static tables) packaged as a
+    `CompiledLatticeForm`; call `.assemble()` for the jitted fast path.
+    """
+    return CompiledLatticeForm(form, constraint, bcs or [], diagval, dtype)
+
+
+class CompiledLatticeForm:
+    def __init__(self, form, constraint, bcs, diagval, dtype):
+        mpc_r, mpc_c = _mpc_pair(constraint)
+        assert mpc_r is mpc_c, "lattice path supports square forms with one MPC"
+        V = form.test_space
+        assert form.trial_space is V, "lattice path needs test == trial space"
+        mesh = V.mesh
+        lat = get_lattice_info(mesh)
+        assert lat is not None, "mesh has no lattice info (use create_box/create_rectangle)"
+        assert len(form.terms) == 1 and form.terms[0].integral == "cell" and form.terms[0].entities is None
+        assert V.element.degree == 1, "lattice fast path currently supports P1/Q1"
+        self.V, self.mesh, self.lat = V, mesh, lat
+        self.dtype = np.dtype(dtype)
+        self.bcs = bcs
+        self.diagval = diagval
+        nx, ny, nz_ = lat.dims
+        is2d = mesh.tdim == 2
+        self.vshape = (nx + 1, ny + 1, 1 if is2d else nz_ + 1)
+        bs = V.block_size
+        self.bs = bs
+
+        ct = compile_term(form.terms[0], V, V)
+        self.kernel = ct.kernel
+        self.coeff_names = ct.coeff_names
+        self.term = form.terms[0]
+        self._wdofmaps = {
+            n: jnp.asarray(W.dofmap, jnp.int32) for n, W in zip(ct.coeff_names, ct.coeff_spaces)
+        }
+        self.coords = jnp.asarray(mesh.points[mesh.cells].astype(_real_dtype(dtype)))
+        self.lf = jnp.zeros(mesh.num_cells, jnp.int32)
+
+        # vertex deltas and diagonal offsets
+        deltas = _vertex_delta_table(mesh, lat)  # (T, nv, 3)
+        T, nv, _ = deltas.shape
+        offs = {}
+        self.moves = []  # (t, a, b, off_id, da)
+        for t in range(T):
+            for a in range(nv):
+                for b in range(nv):
+                    off = tuple(deltas[t, b] - deltas[t, a])
+                    oid = offs.setdefault(off, len(offs))
+                    self.moves.append((t, a, b, oid, tuple(deltas[t, a])))
+        self.offsets = tuple(offs.keys())
+
+        # ---- MPC + BC side matrix over slave cells ----------------------
+        tr = _build_cell_transforms(V, mpc_r, self.dtype)
+        self.slave_cell_mask = jnp.asarray(
+            tr.slave_cell_mask.astype(_real_dtype(self.dtype))
+        )
+        sc = np.flatnonzero(tr.slave_cell_mask)
+        self._sc = sc
+        batches, masks = [], []
+        if len(sc):
+            er = tr.ext_dofs  # (n_sc, W)
+            rr = np.broadcast_to(er[:, :, None], (len(sc), er.shape[1], er.shape[1]))
+            cc = np.broadcast_to(er[:, None, :], rr.shape)
+            batches.append((rr, cc))
+            masks.append((rr >= 0) & (cc >= 0))
+            self._Tr = jnp.asarray(tr.T)
+        else:
+            batches.append((np.zeros((0, 1, 1), np.int64), np.zeros((0, 1, 1), np.int64)))
+            masks.append(None)
+            self._Tr = jnp.zeros((0, V.ndofs_cell, 1), self.dtype)
+        slaves_row = (
+            np.asarray(mpc_r.slaves, np.int64)
+            if (mpc_r is not None and mpc_r.num_local_slaves)
+            else np.zeros(0, np.int64)
+        )
+        batches.append((slaves_row, slaves_row))
+        masks.append(None)
+        N = V.num_dofs
+        pattern = build_slot_pattern((N, N), batches, masks)
+        self.pattern = pattern
+        self._slots = [jnp.asarray(s.astype(np.int32)) for s in pattern.slots]
+        self._side_cols = jnp.asarray(pattern.indices.astype(np.int32))
+        self._side_rows = jnp.asarray(pattern.row_ids.astype(np.int32))
+        self.n_slaves_diag = slaves_row.shape[0]
+        self._dm_sc = jnp.asarray(V.dofmap[sc].astype(np.int32)) if len(sc) else jnp.zeros((0, V.ndofs_cell), jnp.int32)
+        self._sc_dev = jnp.asarray(sc.astype(np.int32))
+
+        # bc data
+        self._bc_mask = jnp.asarray(_bc_masks(V, bcs, self.dtype))
+        bc_dofs = np.unique(np.concatenate([bc.dofs for bc in bcs])) if bcs else np.zeros(0, np.int64)
+        self._bc_dofs_grid = jnp.asarray(bc_dofs.astype(np.int32))
+        self.mpc = mpc_r
+
+        self._assemble = jax.jit(self._assemble_impl)
+
+    # ------------------------------------------------------------------
+    def _assemble_impl(self, coords, bc_mask, coeff_vecs, diagval):
+        V, lat = self.V, self.lat
+        nx, ny, nz_ = lat.dims
+        n0, n1, n2 = self.vshape
+        bs = self.bs
+        T = lat.cells_per_box
+        nv = self.mesh.cells.shape[1]
+        dt = self.dtype
+
+        wl = {n: coeff_vecs[n][self._wdofmaps[n]] for n in coeff_vecs}
+        Ae = self.kernel(coords, self.lf, wl)  # (n_cells, nd, nd) nd = nv*bs
+        # zero BC rows/cols; diagval handled on the DIA diagonal below
+        mr = 1.0 - bc_mask[jnp.asarray(V.dofmap, jnp.int32)]  # (n_cells, nd)
+        Ae_bc = Ae * mr[:, :, None] * mr[:, None, :]
+        # exclude slave cells from the stencil part
+        Ae_st = Ae_bc * (1.0 - self.slave_cell_mask)[:, None, None].astype(Ae.dtype)
+        nz_cells = 1 if self.mesh.tdim == 2 else nz_
+        Ae_grid = Ae_st.reshape(nx, ny, nz_cells, T, nv, bs, nv, bs)
+
+        data = jnp.zeros((len(self.offsets), bs, bs, n0, n1, n2), dtype=Ae.dtype)
+        for t, a, b, oid, (di, dj, dk) in self.moves:
+            for ci in range(bs):
+                for cj in range(bs):
+                    data = data.at[
+                        oid, ci, cj, di : di + nx, dj : dj + ny, dk : dk + nz_cells
+                    ].add(Ae_grid[:, :, :, t, a, ci, b, cj])
+        # Dirichlet + slave diagval on the (0,0,0) diagonal
+        zid = self.offsets.index((0, 0, 0))
+        diag_add = jnp.zeros(self.V.num_dofs, dtype=Ae.dtype)
+        if self._bc_dofs_grid.shape[0]:
+            diag_add = diag_add.at[self._bc_dofs_grid].add(diagval)
+        dg = diag_add.reshape(n0, n1, n2, bs)
+        for ci in range(bs):
+            data = data.at[zid, ci, ci].add(dg[:, :, :, ci])
+
+        # side matrix: K^H Ae K over slave cells + slave diagval
+        n_sc = self._sc_dev.shape[0]
+        nnz = self.pattern.nnz
+        if n_sc:
+            Ae_sl = Ae_bc[self._sc_dev]
+            Aep = jnp.einsum(
+                "ciw,cij,cjv->cwv", jnp.conj(self._Tr), Ae_sl, self._Tr,
+                preferred_element_type=Ae.dtype,
+            )
+            vals = [Aep.reshape(-1)]
+        else:
+            vals = [jnp.zeros(self._slots[0].shape, Ae.dtype)]
+        vals.append(jnp.full((self.n_slaves_diag,), diagval, dtype=Ae.dtype))
+        side = jax.ops.segment_sum(
+            jnp.concatenate(vals), jnp.concatenate(self._slots), num_segments=nnz + 1
+        )[:nnz]
+        dia = DIAMatrix(data, self.offsets, self.vshape, bs)
+        return LatticeOperator(dia, side, self._side_cols, self._side_rows, self.V.num_dofs)
+
+    def assemble(self) -> LatticeOperator:
+        coeff_vecs = {
+            n: jnp.asarray(self.term.coefficients[n].x.array) for n in self.coeff_names
+        }
+        return self._assemble(
+            self.coords, self._bc_mask, coeff_vecs, jnp.asarray(self.diagval, self.dtype)
+        )
