@@ -181,6 +181,10 @@ class MultiPointConstraint:
         n_s = len(self._slaves)
         num_dofs = self.V.num_dofs
         if n_s == 0:
+            self._np_slaves = np.zeros((0,), np.int64)
+            self._np_masters = np.zeros((0, 1), np.int64)
+            self._np_coeffs = np.zeros((0, 1), self.dtype)
+            self._np_is_slave = np.zeros(num_dofs, dtype=bool)
             self.finalized = FinalizedMPC(
                 jnp.zeros((0,), jnp.int32),
                 jnp.zeros((0, 1), jnp.int32),

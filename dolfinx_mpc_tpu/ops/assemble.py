@@ -286,16 +286,20 @@ def _real_dtype(dtype):
 
 
 def _bc_masks(V: FunctionSpace, bcs, dtype):
+    """BC row/col indicator; bcs on other spaces are ignored (nest blocks
+    pass mixed-space bc lists, reference assemble_matrix.py:119-146)."""
     mask = np.zeros(V.num_dofs, dtype=_real_dtype(dtype))
     for bc in bcs:
-        mask[bc.dofs] = 1.0
+        if bc.V is V or (bc.V.num_dofs == V.num_dofs and bc.V.mesh is V.mesh):
+            mask[bc.dofs] = 1.0
     return mask
 
 
 def _bc_values(V: FunctionSpace, bcs, dtype):
     g = np.zeros(V.num_dofs, dtype=dtype)
     for bc in bcs:
-        g[bc.dofs] = bc.dof_values(dtype)
+        if bc.V is V or (bc.V.num_dofs == V.num_dofs and bc.V.mesh is V.mesh):
+            g[bc.dofs] = bc.dof_values(dtype)
     return g
 
 
