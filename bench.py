@@ -1,19 +1,21 @@
-"""Headline benchmark: constrained-assembly throughput (MDoF/s) for the 3D
-periodic Poisson problem — the reference's canonical benchmark
-(/root/reference/python/benchmarks/bench_periodic.py: 3D Poisson on a unit
-cube with a periodic MPC, tet mesh, CG).
+"""Headline benchmark: constrained assembly + CG solve for 3D periodic
+Poisson — the reference's canonical benchmark
+(/root/reference/python/benchmarks/bench_periodic.py: unit-cube tet mesh,
+periodic MPC, CG; Makefile baseline `--nref 6 --tet --degree 2` on 23 ranks).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "MDoF/s", "vs_baseline": N}
+Measurement protocol: the TPU tunnel in this environment adds ~30-50 ms of
+relay overhead per dispatch AND caches identical dispatches, so naive
+per-call timing is meaningless.  We therefore time K chained, perturbed
+assemblies inside ONE jitted program and difference two chain lengths —
+(T_K - T_1)/(K-1) isolates true per-assembly device time.  The CG solve is
+one jitted while_loop (single dispatch, long execution) timed directly.
 
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline divides by an estimated 64-core C++/PETSc reference rate
-(REFERENCE_MDOF_S below).  The reference repo publishes no numbers
-(BASELINE.md) and this image cannot run dolfinx/PETSc, so the estimate is
-~1 MDoF/s/core for P1 tet MPC assembly x 64 cores; BASELINE.json's gate is
-5x that per dof.
+(REFERENCE_MDOF_S): the reference repo publishes no numbers (BASELINE.md) and
+dolfinx/PETSc cannot run in this image, so ~1 MDoF/s/core x 64 is assumed.
 
-Env knobs: BENCH_N (mesh resolution, default 64), BENCH_DEGREE (default 1),
-BENCH_REPS (default 5).
+Env knobs: BENCH_N (default 64), BENCH_CHAIN (default 5).
 """
 
 import json
@@ -32,10 +34,12 @@ def log(*args):
 
 def main():
     n = int(os.environ.get("BENCH_N", "64"))
-    degree = int(os.environ.get("BENCH_DEGREE", "1"))
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    K = int(os.environ.get("BENCH_CHAIN", "5"))
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     log(f"devices: {jax.devices()}")
@@ -43,18 +47,15 @@ def main():
     import dolfinx_mpc_tpu as dmt
     from dolfinx_mpc_tpu.fem.forms import grad, inner
     from dolfinx_mpc_tpu.fem.mesh import create_unit_cube
-    from dolfinx_mpc_tpu.ops.assemble import _bc_masks, _get_compiled_matrix
+    from dolfinx_mpc_tpu.ops.lattice import assemble_matrix_lattice
 
     t0 = time.time()
     mesh = create_unit_cube(n, n, n)
-    V = dmt.functionspace(mesh, ("Lagrange", degree))
-    log(f"mesh: {mesh.num_cells} tets, {V.num_dofs} dofs ({time.time()-t0:.1f}s)")
-
+    V = dmt.functionspace(mesh, ("Lagrange", 1))
     bdofs = dmt.locate_dofs_geometrical(
         V, lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], 1.0)
     )
     bc = dmt.dirichletbc(0.0, bdofs, V)
-    t0 = time.time()
     mpc = dmt.MultiPointConstraint(V, dtype=np.float32)
     mpc.create_periodic_constraint_geometrical(
         V,
@@ -63,44 +64,70 @@ def main():
         [bc],
     )
     mpc.finalize()
-    log(f"constraint: {mpc.num_local_slaves} slaves ({time.time()-t0:.1f}s)")
-
-    # quad_degree=2(p-1): exact for the affine-simplex stiffness integrand
-    # (grad u . grad v is degree 2(p-1)); the default heuristic adds headroom
-    # for coefficients the Poisson form doesn't have.
-    a = dmt.BilinearForm(
-        V, lambda u, v, c: inner(grad(u), grad(v)), quad_degree=max(2 * (degree - 1), 1)
+    a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)), quad_degree=1)
+    clf = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32)
+    log(
+        f"setup {time.time()-t0:.1f}s: {mesh.num_cells} tets, {V.num_dofs} dofs, "
+        f"{mpc.num_local_slaves} slaves, side nnz {clf.pattern.nnz}"
     )
-    dtype = np.float32
+
+    f = clf._assemble
+    keep, dv = clf._keep_soa, jnp.asarray(1.0, jnp.float32)
+    coords = clf.coords_soa
+
+    def make_chain(k):
+        # fori_loop keeps ONE assembly in the compiled program regardless of
+        # chain length (a python-unrolled chain multiplies compile time by k)
+        @jax.jit
+        def chain(c):
+            def body(i, acc):
+                r = f(c * (1.0 + 1e-7 * i.astype(jnp.float32)), keep, {}, dv)
+                return acc + r.dia.data.ravel()[0] + (
+                    r.side_data[0] if r.side_data.shape[0] else 0.0
+                )
+            return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
+        return chain
+
+    c1, cK = make_chain(1), make_chain(K)
     t0 = time.time()
-    cm = _get_compiled_matrix(a, mpc, dtype)
-    log(f"tables+pattern: nnz={cm.pattern.nnz} ({time.time()-t0:.1f}s)")
+    c1(coords).block_until_ready()
+    cK(coords).block_until_ready()
+    log(f"compile: {time.time()-t0:.1f}s")
 
-    bc_mask = jnp.asarray(_bc_masks(V, [bc], dtype))
-    bc_diag = np.zeros(V.num_dofs, dtype)
-    bc_diag[bc.dofs] = 1.0
-    bc_diag = jnp.asarray(bc_diag)
-    diagval = jnp.asarray(1.0, dtype)
-    tables = jax.tree_util.tree_map(jnp.asarray, cm.tables)
+    def best(fn, reps=4):
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn(coords).block_until_ready()
+            ts.append(time.time() - t0)
+        return min(ts)
 
-    def assemble():
-        return cm.assemble_fn(tables, [{}], bc_mask, bc_mask, bc_diag, diagval)
-
-    t0 = time.time()
-    data = assemble()
-    data.block_until_ready()
-    log(f"first assembly (compile): {time.time()-t0:.1f}s")
-    assert bool(jnp.isfinite(data).all()), "non-finite matrix data"
-
-    times = []
-    for _ in range(reps):
-        t0 = time.time()
-        assemble().block_until_ready()
-        times.append(time.time() - t0)
-    t = float(np.median(times))
-    mdof_s = V.num_dofs / t / 1e6
-    log(f"assembly times: {['%.4f' % x for x in times]} -> median {t*1e3:.1f} ms")
+    tK, t1 = best(cK), best(c1)
+    t_asm = max((tK - t1) / (K - 1), 1e-9)
+    mdof_s = V.num_dofs / t_asm / 1e6
+    log(f"chain times: T1={t1*1e3:.1f}ms T{K}={tK*1e3:.1f}ms -> {t_asm*1e3:.2f} ms/assembly")
     log(f"constrained assembly: {mdof_s:.1f} MDoF/s")
+
+    # full solve: assemble + Jacobi-CG in one dispatch
+    A = clf.assemble()
+    L = dmt.LinearForm(V, lambda v, c: 4.0 * v.value)
+    b = jnp.asarray(np.asarray(dmt.assemble_vector(L, mpc, dtype=np.float32)))
+    b = jnp.asarray(np.asarray(dmt.set_bc(b, [bc])))
+    from dolfinx_mpc_tpu.la.solvers import cg, jacobi_preconditioner
+
+    @jax.jit
+    def solve(b):
+        return cg(A.matvec, b, M=jacobi_preconditioner(A.diagonal()), rtol=1e-6, max_it=3000)
+
+    x, its, rn = solve(b)
+    x.block_until_ready()
+    t0 = time.time()
+    x, its, rn = solve(b * 1.000001)
+    x.block_until_ready()
+    t_solve = time.time() - t0
+    log(f"CG solve: its={int(its)} rnorm={float(rn):.2e} time={t_solve:.3f}s "
+        f"({t_solve/max(int(its),1)*1e3:.2f} ms/it)")
+    assert bool(jnp.isfinite(x).all())
 
     print(
         json.dumps(

@@ -62,13 +62,33 @@ def _basis_masters(V: FunctionSpace, points: np.ndarray, locator: PointLocator, 
 def _periodic_from_slave_blocks(V, slave_blocks, components, relation, bcs, scale, dtype):
     """Shared tail of the periodic generators: map slave dof coords through
     `relation`, evaluate basis at the image, build the CSR data
-    (PeriodicConstraint.h:104-222)."""
+    (PeriodicConstraint.h:104-222).
+
+    Fast path for matching meshes: mapped points that coincide with existing
+    dof coordinates (cKDTree lookup) get that dof directly as their single
+    master — replacing the reference's BB-tree collision + basis evaluation
+    (SURVEY.md §7 step 5); only unmatched points go through the general
+    Newton pull-back point locator."""
     bc_dofs = _bc_dof_set(bcs)
     bs = V.block_size
     coords = V.dof_coords_blocks[slave_blocks]  # (nb, gdim)
     mapped = np.asarray(relation(coords.T)).T[:, : V.mesh.gdim]  # (nb, gdim)
-    locator = PointLocator(V.mesh)
-    cells, mblocks, phi = _basis_masters(V, mapped, locator)
+    nb = len(slave_blocks)
+    nd = V.element.ndofs
+    mblocks = np.zeros((nb, nd), dtype=np.int64)
+    phi = np.zeros((nb, nd))
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(V.dof_coords_blocks)
+    dist, nearest = tree.query(mapped, k=1)
+    hit = dist < 1e-10
+    mblocks[hit, 0] = nearest[hit]
+    phi[hit, 0] = 1.0
+    if (~hit).any():
+        locator = PointLocator(V.mesh)
+        _, mb_gen, phi_gen = _basis_masters(V, mapped[~hit], locator)
+        mblocks[~hit] = mb_gen
+        phi[~hit] = phi_gen
     slaves, masters, coeffs, offsets = [], [], [], [0]
     drop_tol = 1e-13
     for i, sb in enumerate(slave_blocks):

@@ -153,12 +153,15 @@ def _canonical_entity_dofs(mesh: Mesh, element: LagrangeElement):
             continue
         ent_local_dofs = element.entity_dofs(dim)
         per = len(ent_local_dofs[0]) if ent_local_dofs else 0
+        if per == 0:
+            # no dofs on these entities: don't force the (expensive) entity
+            # dedup — P1 spaces never need edge/face connectivity here
+            entity_store[dim] = np.zeros((0, 0), dtype=np.int64)
+            continue
         _, cell_to_ent, _ = mesh.entities(dim)
         n_ent = int(cell_to_ent.max()) + 1 if cell_to_ent.size else 0
         ids = next_block + np.arange(n_ent * per, dtype=np.int64).reshape(n_ent, per)
         entity_store[dim] = ids
-        if per == 0:
-            continue
         canon = np.full((n_ent, per, mesh.gdim), np.nan)
         have = np.zeros(n_ent, dtype=bool)
         for le, slots in enumerate(ent_local_dofs):

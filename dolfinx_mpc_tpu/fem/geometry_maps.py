@@ -201,23 +201,36 @@ class PointLocator:
 
     def locate(self, x: np.ndarray, tol=1e-8):
         """For each point return (cell_index, X_ref); cell_index == -1 if the
-        point is in no cell of this locator."""
+        point is in no cell of this locator.
+
+        Vectorized: all (point, bbox-candidate) pairs go through ONE batched
+        Newton pull-back instead of a per-point Python loop (the reference's
+        BB-tree + per-point GJK at cpp/utils.h:1372-1451 is inherently
+        sequential; this is the batched equivalent)."""
         x = np.atleast_2d(x)
         n = x.shape[0]
         found = np.full(n, -1, dtype=np.int64)
         Xref = np.zeros((n, self.mesh.tdim))
-        for i in range(n):
-            cand = np.flatnonzero(
-                (x[i] >= self.lo - tol).all(axis=1) & (x[i] <= self.hi + tol).all(axis=1)
-            )
-            if cand.size == 0:
+        if n == 0:
+            return found, Xref
+        # candidate mask via broadcasting in chunks (memory: n_chunk * n_cells)
+        chunk = max(1, int(4e7) // max(len(self.cells), 1))
+        for c0 in range(0, n, chunk):
+            xs = x[c0 : c0 + chunk]
+            inb = (xs[:, None, :] >= self.lo[None] - tol).all(-1) & (
+                xs[:, None, :] <= self.hi[None] + tol
+            ).all(-1)
+            pi, ci = np.nonzero(inb)
+            if len(pi) == 0:
                 continue
-            cand_cells = self.cells[cand]
+            cand_cells = self.cells[ci]
             cc = cell_coords(self.mesh, cand_cells)
-            X = pull_back(self.mesh.cell_type, cc, np.repeat(x[i][None], len(cand), 0))
+            X = pull_back(self.mesh.cell_type, cc, xs[pi])
             ok = _inside_reference(self.mesh.cell_type, X, tol)
-            hits = np.flatnonzero(ok)
-            if hits.size:
-                found[i] = cand_cells[hits[0]]
-                Xref[i] = X[hits[0]]
+            # first hit per point wins (matches the loop semantics)
+            for k in np.flatnonzero(ok):
+                gi = c0 + pi[k]
+                if found[gi] < 0:
+                    found[gi] = cand_cells[k]
+                    Xref[gi] = X[k]
         return found, Xref

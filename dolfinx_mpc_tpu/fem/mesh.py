@@ -90,8 +90,18 @@ class Mesh:
             [self.cells[:, list(s)] for s in sub], axis=1
         )  # (n_cells, n_local, k)
         flat = all_verts.reshape(-1, k)
-        key_sorted = np.sort(flat, axis=1)
-        uniq, inv = np.unique(key_sorted, axis=0, return_inverse=True)
+        key_sorted = np.sort(flat, axis=1).astype(np.int64)
+        # pack each sorted vertex tuple into one int64 key: 1D unique is ~10x
+        # faster than np.unique(axis=0)'s lexicographic row argsort
+        nv = int(self.num_points)
+        if nv ** k < 2 ** 62:
+            packed = key_sorted[:, 0]
+            for j in range(1, k):
+                packed = packed * nv + key_sorted[:, j]
+            _, first_idx, inv = np.unique(packed, return_index=True, return_inverse=True)
+            uniq = key_sorted[first_idx]
+        else:
+            uniq, inv = np.unique(key_sorted, axis=0, return_inverse=True)
         cell_to_entity = inv.reshape(self.num_cells, n_local).astype(np.int32)
         out = (uniq.astype(np.int32), cell_to_entity, flat)
         self._cache[key] = out
@@ -213,29 +223,30 @@ def create_box(p0, p1, n, cell_type: str = CellType.tetrahedron) -> Mesh:
     X, Y, Z = np.meshgrid(x, y, z, indexing="ij")
     pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
 
+    # vectorized cell construction: corner vertex ids for every box at once,
+    # cells ordered (i, j, k, t) as the lattice fast path expects
+    I, J, K = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
+
     def vid(i, j, k):
         return (i * (ny + 1) + j) * (nz + 1) + k
 
-    cells = []
-    for i in range(nx):
-        for j in range(ny):
-            for k in range(nz):
-                h = [
-                    vid(i, j, k),
-                    vid(i + 1, j, k),
-                    vid(i, j + 1, k),
-                    vid(i + 1, j + 1, k),
-                    vid(i, j, k + 1),
-                    vid(i + 1, j, k + 1),
-                    vid(i, j + 1, k + 1),
-                    vid(i + 1, j + 1, k + 1),
-                ]
-                if cell_type == CellType.hexahedron:
-                    cells.append(h)
-                else:
-                    for t in _KUHN_TETS:
-                        cells.append([h[a] for a in t])
-    m = Mesh(pts, np.asarray(cells, dtype=np.int32), cell_type)
+    corners = np.stack(
+        [
+            vid(I + di, J + dj, K + dk)
+            for dk_major in [0]
+            for (di, dj, dk) in [
+                (0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
+                (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1),
+            ]
+        ],
+        axis=-1,
+    ).reshape(-1, 8)  # (n_boxes, 8)
+    if cell_type == CellType.hexahedron:
+        cells_arr = corners
+    else:
+        tets = np.stack([corners[:, list(t)] for t in _KUHN_TETS], axis=1)  # (nb, 6, 4)
+        cells_arr = tets.reshape(-1, 4)
+    m = Mesh(pts, cells_arr.astype(np.int32), cell_type)
     # cells are ordered (i, j, k, t): mark for the lattice fast path
     from ..ops.lattice import attach_lattice_info
 

@@ -282,6 +282,14 @@ class CompiledLatticeForm:
         }
         self.coords = jnp.asarray(mesh.points[mesh.cells].astype(_real_dtype(dtype)))
         self.lf = jnp.zeros(mesh.num_cells, jnp.int32)
+        # cells-last SoA kernel (soa_kernels.py) — the fast path on TPU
+        from .soa_kernels import compile_cell_kernel_soa
+
+        self.kernel_soa = compile_cell_kernel_soa(mesh, V, V, form.terms[0], self.dtype)
+        if self.kernel_soa is not None:
+            self.coords_soa = jnp.asarray(
+                mesh.points[mesh.cells].astype(_real_dtype(dtype)).transpose(1, 2, 0)
+            )
 
         # vertex deltas and diagonal offsets
         deltas = _vertex_delta_table(mesh, lat)  # (T, nv, 3)
@@ -333,12 +341,22 @@ class CompiledLatticeForm:
         self._sc_dev = jnp.asarray(sc.astype(np.int32))
 
         # bc data
-        self._bc_mask = jnp.asarray(_bc_masks(V, bcs, self.dtype))
+        bc_mask_np = _bc_masks(V, bcs, self.dtype)
+        self._bc_mask = jnp.asarray(bc_mask_np)
         bc_dofs = np.unique(np.concatenate([bc.dofs for bc in bcs])) if bcs else np.zeros(0, np.int64)
         self._bc_dofs_grid = jnp.asarray(bc_dofs.astype(np.int32))
         self.mpc = mpc_r
 
-        self._assemble = jax.jit(self._assemble_impl)
+        if self.kernel_soa is not None:
+            # static (nd, c) keep mask — bcs are fixed per compiled form
+            self._keep_soa = jnp.asarray((1.0 - bc_mask_np[V.dofmap]).T.copy())
+            self._coeff_shapes = {
+                n: (W.element.ndofs, W.block_size)
+                for n, W in zip(ct.coeff_names, ct.coeff_spaces)
+            }
+            self._assemble = jax.jit(self._assemble_impl_soa)
+        else:
+            self._assemble = jax.jit(self._assemble_impl)
 
     # ------------------------------------------------------------------
     def _assemble_impl(self, coords, bc_mask, coeff_vecs, diagval):
@@ -395,10 +413,70 @@ class CompiledLatticeForm:
         dia = DIAMatrix(data, self.offsets, self.vshape, bs)
         return LatticeOperator(dia, side, self._side_cols, self._side_rows, self.V.num_dofs)
 
+    # ------------------------------------------------------------------
+    def _assemble_impl_soa(self, coords_soa, keep_soa, coeff_vecs, diagval):
+        """Cells-last fast path: Ae arrives as (nd, nd, c) and every masking /
+        grid-accumulation op broadcasts on the 128-lane cell axis."""
+        V, lat = self.V, self.lat
+        nx, ny, nz_ = lat.dims
+        n0, n1, n2 = self.vshape
+        bs = self.bs
+        T = lat.cells_per_box
+        nz_cells = 1 if self.mesh.tdim == 2 else nz_
+
+        wl_soa = {}
+        for n in self.coeff_names:
+            ndw, bsw = self._coeff_shapes[n]
+            wl = coeff_vecs[n][self._wdofmaps[n]]  # (c, ndw*bsw)
+            wl_soa[n] = jnp.moveaxis(wl.reshape(-1, ndw, bsw), 0, -1)  # (ndw, bsw, c)
+
+        Ae = self.kernel_soa(coords_soa, wl_soa)  # (nd, nd, c)
+        Ae_bc = Ae * keep_soa[:, None, :] * keep_soa[None, :, :]
+        Ae_st = Ae_bc * (1.0 - self.slave_cell_mask).astype(Ae.dtype)
+        nd = Ae.shape[0]
+        Ae_grid = Ae_st.reshape(nd, nd, nx, ny, nz_cells, T)
+
+        data = jnp.zeros((len(self.offsets), bs, bs, n0, n1, n2), dtype=Ae.dtype)
+        for t, a, b, oid, (di, dj, dk) in self.moves:
+            for ci in range(bs):
+                for cj in range(bs):
+                    data = data.at[
+                        oid, ci, cj, di : di + nx, dj : dj + ny, dk : dk + nz_cells
+                    ].add(Ae_grid[a * bs + ci, b * bs + cj, :, :, :, t])
+        zid = self.offsets.index((0, 0, 0))
+        diag_add = jnp.zeros(self.V.num_dofs, dtype=Ae.dtype)
+        if self._bc_dofs_grid.shape[0]:
+            diag_add = diag_add.at[self._bc_dofs_grid].add(diagval)
+        dg = diag_add.reshape(n0, n1, n2, bs)
+        for ci in range(bs):
+            data = data.at[zid, ci, ci].add(dg[:, :, :, ci])
+
+        n_sc = self._sc_dev.shape[0]
+        nnz = self.pattern.nnz
+        if n_sc:
+            Ae_sl = jnp.moveaxis(Ae_bc[:, :, self._sc_dev], -1, 0)  # (n_sc, nd, nd)
+            Aep = jnp.einsum(
+                "ciw,cij,cjv->cwv", jnp.conj(self._Tr), Ae_sl, self._Tr,
+                preferred_element_type=Ae.dtype,
+            )
+            vals = [Aep.reshape(-1)]
+        else:
+            vals = [jnp.zeros(self._slots[0].shape, Ae.dtype)]
+        vals.append(jnp.full((self.n_slaves_diag,), diagval, dtype=Ae.dtype))
+        side = jax.ops.segment_sum(
+            jnp.concatenate(vals), jnp.concatenate(self._slots), num_segments=nnz + 1
+        )[:nnz]
+        dia = DIAMatrix(data, self.offsets, self.vshape, bs)
+        return LatticeOperator(dia, side, self._side_cols, self._side_rows, self.V.num_dofs)
+
     def assemble(self) -> LatticeOperator:
         coeff_vecs = {
             n: jnp.asarray(self.term.coefficients[n].x.array) for n in self.coeff_names
         }
+        if self.kernel_soa is not None:
+            return self._assemble(
+                self.coords_soa, self._keep_soa, coeff_vecs, jnp.asarray(self.diagval, self.dtype)
+            )
         return self._assemble(
             self.coords, self._bc_mask, coeff_vecs, jnp.asarray(self.diagval, self.dtype)
         )
