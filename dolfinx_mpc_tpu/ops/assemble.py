@@ -313,15 +313,28 @@ class MPCMatrix(CSRMatrix):
     diagval on slave/bc diagonals."""
 
 
-_matrix_cache: dict = {}
+def _form_cache(form) -> dict:
+    """Compiled-kernel cache attached to the Form itself — a global dict
+    keyed by id(form) breaks when CPython reuses the id of a collected Form
+    (stale tables for a brand-new form)."""
+    return form.__dict__.setdefault("_compiled_cache", {})
+
+
+def _constraint_key(constraint):
+    if isinstance(constraint, (list, tuple)):
+        return tuple(id(m) for m in constraint), tuple(constraint)
+    return (id(constraint),), (constraint,)
 
 
 def _get_compiled_matrix(form, constraint, dtype):
-    key = (id(form), tuple(id(m) for m in (constraint if isinstance(constraint, (list, tuple)) else [constraint])), np.dtype(dtype).str)
-    cm = _matrix_cache.get(key)
+    ids, refs = _constraint_key(constraint)
+    key = ("mat", ids, np.dtype(dtype).str)
+    cache = _form_cache(form)
+    cm = cache.get(key)
     if cm is None:
         cm = _compile_matrix(form, constraint, dtype)
-        _matrix_cache[key] = cm
+        cache[key] = cm
+        cache.setdefault("_refs", []).append(refs)  # pin constraint lifetimes
     return cm
 
 
@@ -374,7 +387,7 @@ class CompiledVectorForm:
     assemble_fn: object
 
 
-_vector_cache: dict = {}
+
 
 
 def _compile_vector(form: Form, constraint, dtype) -> CompiledVectorForm:
@@ -434,11 +447,13 @@ def _compile_vector(form: Form, constraint, dtype) -> CompiledVectorForm:
 
 
 def _get_compiled_vector(form, constraint, dtype):
-    key = (id(form), id(constraint), np.dtype(dtype).str)
-    cv = _vector_cache.get(key)
+    key = ("vec", id(constraint), np.dtype(dtype).str)
+    cache = _form_cache(form)
+    cv = cache.get(key)
     if cv is None:
         cv = _compile_vector(form, constraint, dtype)
-        _vector_cache[key] = cv
+        cache[key] = cv
+        cache.setdefault("_refs", []).append((constraint,))
     return cv
 
 
@@ -460,7 +475,7 @@ def assemble_vector(form: Form, constraint=None, b=None, dtype=None):
 # ---------------------------------------------------------------------------
 
 
-_lifting_cache: dict = {}
+
 
 
 def _compile_lifting(form: Form, constraint, dtype):
@@ -532,11 +547,13 @@ def apply_lifting(b, forms, bcs_list, constraint=None, x0=None, scale=1.0, dtype
     for form, bcs in zip(forms, bcs_list):
         if not bcs:
             continue
-        key = (id(form), id(constraint), np.dtype(dtype).str)
-        ct = _lifting_cache.get(key)
+        key = ("lift", id(constraint), np.dtype(dtype).str)
+        cache = _form_cache(form)
+        ct = cache.get(key)
         if ct is None:
             ct = _compile_lifting(form, constraint, dtype)
-            _lifting_cache[key] = ct
+            cache[key] = ct
+            cache.setdefault("_refs", []).append((constraint,))
         terms, tables, lift_fn = ct
         Vs = form.trial_space
         gvec = jnp.asarray(_bc_values(Vs, bcs, dtype))
