@@ -213,6 +213,16 @@ class PointLocator:
         Xref = np.zeros((n, self.mesh.tdim))
         if n == 0:
             return found, Xref
+        # native grid-hash path (csrc/native.cpp) when built
+        from ..native import locate_points as _native_locate
+
+        res = _native_locate(
+            x, self.mesh.cells, self.mesh.points, self.mesh.cell_type,
+            cells=None if len(self.cells) == self.mesh.num_cells else self.cells,
+            tol=tol,
+        )
+        if res is not None:
+            return res
         # candidate mask via broadcasting in chunks (memory: n_chunk * n_cells)
         chunk = max(1, int(4e7) // max(len(self.cells), 1))
         for c0 in range(0, n, chunk):

@@ -98,7 +98,9 @@ class Mesh:
             packed = key_sorted[:, 0]
             for j in range(1, k):
                 packed = packed * nv + key_sorted[:, j]
-            _, first_idx, inv = np.unique(packed, return_index=True, return_inverse=True)
+            from ..native import sort_unique_inverse
+
+            _, first_idx, inv = sort_unique_inverse(packed)
             uniq = key_sorted[first_idx]
         else:
             uniq, inv = np.unique(key_sorted, axis=0, return_inverse=True)
