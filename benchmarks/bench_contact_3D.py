@@ -1,0 +1,103 @@
+"""Tied contact between stacked cubes with per-phase timings — counterpart of
+/root/reference/python/benchmarks/bench_contact_3D.py (phases: constraint
+init / assemble matrix / assemble vector / solve / backsubstitution,
+:277-331)."""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def run(nb, nt, rtol, out):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    import jax.numpy as jnp
+
+    import dolfinx_mpc_tpu as dmt
+    from dolfinx_mpc_tpu.fem.forms import conj, div, grad, inner, sym
+    from dolfinx_mpc_tpu.fem.mesh import Mesh, create_box, meshtags
+    from dolfinx_mpc_tpu.la.solvers import cg, jacobi_preconditioner
+
+    bot = create_box((0, 0, 0), (1, 1, 1), (nb, nb, nb))
+    top = create_box((0, 0, 1), (1, 1, 2), (nt, nt, nt))
+    mesh = Mesh(
+        np.vstack([bot.points, top.points]),
+        np.vstack([bot.cells, top.cells + bot.num_points]),
+        bot.cell_type,
+    )
+    V = dmt.functionspace(mesh, ("Lagrange", 1, (3,)))
+
+    fverts, _, f2c = mesh.facets()
+    on_iface = np.isclose(mesh.points[fverts][:, :, 2], 1.0).all(axis=1)
+    ext = np.isin(np.arange(fverts.shape[0]), mesh.exterior_facets())
+    iface = np.flatnonzero(on_iface & ext)
+    cz = mesh.points[mesh.cells[f2c[iface, 0]]].mean(axis=1)[:, 2]
+    mt = meshtags(mesh, 2, iface, np.where(cz > 1.0, 1, 2))
+
+    timings = {}
+    t0 = time.time()
+    mpc = dmt.MultiPointConstraint(V)
+    mpc.create_contact_inelastic_condition(mt, 1, 2)
+    mpc.finalize()
+    timings["constraint init"] = time.time() - t0
+
+    bdofs = dmt.locate_dofs_geometrical(V, lambda x: np.isclose(x[2], 0.0))
+    bc = dmt.dirichletbc(np.array([0.0, 0.0, 0.0]), bdofs, V)
+    tdofs = dmt.locate_dofs_geometrical(V, lambda x: np.isclose(x[2], 2.0))
+    bc_top = dmt.dirichletbc(np.array([0.0, 0.0, -0.05]), tdofs, V)
+    mu, lam = 1.0, 1.25
+
+    def elast(u, v, c):
+        return 2 * mu * inner(sym(grad(u)), sym(grad(v))) + lam * div(u) * conj(div(v))
+
+    a = dmt.BilinearForm(V, elast)
+    L = dmt.LinearForm(V, lambda v, c: inner(jnp.zeros(3), v))
+
+    t0 = time.time()
+    A = dmt.assemble_matrix(a, mpc, bcs=[bc, bc_top])
+    A.data.block_until_ready()
+    timings["assemble matrix"] = time.time() - t0
+    t0 = time.time()
+    b = dmt.assemble_vector(L, mpc)
+    b = dmt.apply_lifting(b, [a], [[bc, bc_top]], mpc)
+    b = jnp.asarray(np.asarray(dmt.set_bc(b, [bc, bc_top])))
+    timings["assemble vector"] = time.time() - t0
+
+    solve = jax.jit(
+        lambda b: cg(A.matvec, b, M=jacobi_preconditioner(A.diagonal()), rtol=rtol, max_it=8000)
+    )
+    x, its, rn = solve(b)
+    x.block_until_ready()
+    t0 = time.time()
+    x, its, rn = solve(b)
+    x.block_until_ready()
+    timings["solve"] = time.time() - t0
+    t0 = time.time()
+    u = mpc.finalized.backsubstitution(x)
+    jax.block_until_ready(u)
+    timings["backsubstitution"] = time.time() - t0
+
+    print(f"dofs={V.num_dofs} slaves={mpc.num_local_slaves} its={int(its)} rnorm={float(rn):.2e}")
+    for k, v in timings.items():
+        print(f"  ~MPC: {k}: {v:.4f}s")
+    if out:
+        with open(out, "w") as f:
+            f.write(f"num_dofs {V.num_dofs}\nits {int(its)}\n")
+            for k, v in timings.items():
+                f.write(f"{k.replace(' ', '_')} {v:.6f}\n")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--nb", type=int, default=16, help="bottom cube resolution")
+    p.add_argument("--nt", type=int, default=13, help="top cube resolution")
+    p.add_argument("--rtol", type=float, default=1e-6)
+    p.add_argument("--out", default="results_bench_contact.txt")
+    args = p.parse_args()
+    run(args.nb, args.nt, args.rtol, args.out)
