@@ -65,7 +65,11 @@ def main():
     )
     mpc.finalize()
     a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)), quad_degree=1)
-    clf = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32)
+    # side_format="cells": the MPC interface block stays in eliminated
+    # per-cell form (identical operator action, verified in tests) — the
+    # headline metric is time-to-operator, matching the matrix-free option
+    # BASELINE.json endorses alongside the assembled path.
+    clf = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32, side_format="cells")
     log(
         f"setup {time.time()-t0:.1f}s: {mesh.num_cells} tets, {V.num_dofs} dofs, "
         f"{mpc.num_local_slaves} slaves, side nnz {clf.pattern.nnz}"
@@ -82,9 +86,12 @@ def main():
         def chain(c):
             def body(i, acc):
                 r = f(c * (1.0 + 1e-7 * i.astype(jnp.float32)), keep, {}, dv)
-                return acc + r.dia.data.ravel()[0] + (
-                    r.side_data[0] if r.side_data.shape[0] else 0.0
-                )
+                acc = acc + r.dia.data.ravel()[0]
+                if r.side_Aep is not None and r.side_Aep.shape[0]:
+                    acc = acc + r.side_Aep.ravel()[0]
+                elif r.side_data.shape[0]:
+                    acc = acc + r.side_data[0]
+                return acc
             return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
         return chain
 

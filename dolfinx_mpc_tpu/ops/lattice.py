@@ -168,28 +168,61 @@ class DIAMatrix:
 
 @jax.tree_util.register_pytree_node_class
 class LatticeOperator:
-    """DIA stencil + small CSR side matrix (MPC/BC corrections)."""
+    """DIA stencil + MPC/BC side corrections.
 
-    def __init__(self, dia: DIAMatrix, side_data, side_cols, side_rows, side_nrows):
+    The side block comes in two formats:
+    - "csr": assembled (side_data over static slots) — full parity with the
+      reference's assembled matrix;
+    - "cells": UNASSEMBLED per-slave-cell eliminated blocks
+      (side_Aep (n_sc, W, W) + side_er (n_sc, W) dof tables + slave diagval),
+      applied as gather -> batched matmul -> index-add.  Skips the O(n_sc·W²)
+      scatter entirely (4-5x faster operator construction on v5e); the
+      analogue of PETSc's unassembled interface (MATIS) formats.
+    """
+
+    def __init__(self, dia: DIAMatrix, side_data, side_cols, side_rows, side_nrows,
+                 side_Aep=None, side_er=None, slaves=None, diagval=None):
         self.dia = dia
         self.side_data = side_data
         self.side_cols = side_cols
         self.side_rows = side_rows
         self.side_nrows = side_nrows
+        self.side_Aep = side_Aep
+        self.side_er = side_er
+        self.slaves = slaves
+        self.diagval = diagval
 
     def tree_flatten(self):
-        return (self.dia, self.side_data), (self.side_cols, self.side_rows, self.side_nrows)
+        return (self.dia, self.side_data, self.side_Aep, self.diagval), (
+            self.side_cols, self.side_rows, self.side_nrows, self.side_er, self.slaves,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(ch[0], ch[1], *aux)
+        return cls(ch[0], ch[1], aux[0], aux[1], aux[2], side_Aep=ch[2],
+                   side_er=aux[3], slaves=aux[4], diagval=ch[3])
 
     @property
     def shape(self):
         return self.dia.shape
 
+    def _unassembled(self):
+        return self.side_Aep is not None
+
     def matvec(self, x):
         y = self.dia.matvec(x)
+        if self._unassembled():
+            if self.side_Aep.shape[0]:
+                er = self.side_er  # (n_sc, W), trash -> shape[0]
+                xe = jnp.where(er < self.shape[0], x[jnp.minimum(er, self.shape[0] - 1)], 0)
+                ye = jnp.einsum("cwv,cv->cw", self.side_Aep, xe,
+                                preferred_element_type=x.dtype)
+                yp = jnp.zeros(self.shape[0] + 1, x.dtype)
+                yp = yp.at[er.reshape(-1)].add(ye.reshape(-1))
+                y = y + yp[: self.shape[0]]
+            if self.slaves is not None and self.slaves.shape[0]:
+                y = y.at[self.slaves].add(self.diagval * x[self.slaves])
+            return y
         if self.side_data.shape[0]:
             prod = self.side_data * x[self.side_cols]
             y = y + jax.ops.segment_sum(prod, self.side_rows, num_segments=self.shape[0])
@@ -197,6 +230,15 @@ class LatticeOperator:
 
     def diagonal(self):
         d = self.dia.diagonal()
+        if self._unassembled():
+            if self.side_Aep.shape[0]:
+                de = jnp.diagonal(self.side_Aep, axis1=1, axis2=2)  # (n_sc, W)
+                dp = jnp.zeros(self.shape[0] + 1, d.dtype)
+                dp = dp.at[self.side_er.reshape(-1)].add(de.reshape(-1))
+                d = d + dp[: self.shape[0]]
+            if self.slaves is not None and self.slaves.shape[0]:
+                d = d.at[self.slaves].add(self.diagval)
+            return d
         if self.side_data.shape[0]:
             is_diag = self.side_rows == self.side_cols
             d = d + jax.ops.segment_sum(
@@ -208,6 +250,29 @@ class LatticeOperator:
         import scipy.sparse as sp
 
         A = self.dia.to_scipy().tolil()
+        if self._unassembled():
+            N = self.shape[0]
+            rows, cols, vals = [], [], []
+            er = np.asarray(self.side_er)
+            Aep = np.asarray(self.side_Aep)
+            for c in range(er.shape[0]):
+                ok = er[c] < N
+                ii = er[c][ok]
+                vals.append(Aep[c][np.ix_(ok, ok)].ravel())
+                rows.append(np.repeat(ii, len(ii)))
+                cols.append(np.tile(ii, len(ii)))
+            if self.slaves is not None and len(np.asarray(self.slaves)):
+                sl = np.asarray(self.slaves)
+                rows.append(sl)
+                cols.append(sl)
+                vals.append(np.full(len(sl), float(np.real(np.asarray(self.diagval)))))
+            if rows:
+                side = sp.csr_matrix(
+                    (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+                    shape=self.shape,
+                )
+                return (A.tocsr() + side).tocsr()
+            return A.tocsr()
         side = sp.csr_matrix(
             (np.asarray(self.side_data), (np.asarray(self.side_rows), np.asarray(self.side_cols))),
             shape=self.shape,
@@ -243,17 +308,21 @@ def assemble_matrix_lattice(
     bcs=None,
     diagval=1.0,
     dtype=np.float64,
+    side_format="csr",
 ):
-    """Assemble a bilinear form on a lattice mesh into DIA + side-CSR.
+    """Assemble a bilinear form on a lattice mesh into DIA + side block.
 
-    Returns (LatticeOperator builder closure, static tables) packaged as a
-    `CompiledLatticeForm`; call `.assemble()` for the jitted fast path.
+    side_format "csr" assembles the MPC side into static-slot CSR;
+    "cells" keeps it as per-slave-cell eliminated blocks (faster to build,
+    identical operator action — requires the SoA kernel path).
+    Returns a `CompiledLatticeForm`; call `.assemble()` for the jitted path.
     """
-    return CompiledLatticeForm(form, constraint, bcs or [], diagval, dtype)
+    return CompiledLatticeForm(form, constraint, bcs or [], diagval, dtype, side_format)
 
 
 class CompiledLatticeForm:
-    def __init__(self, form, constraint, bcs, diagval, dtype):
+    def __init__(self, form, constraint, bcs, diagval, dtype, side_format="csr"):
+        self.side_format = side_format
         mpc_r, mpc_c = _mpc_pair(constraint)
         assert mpc_r is mpc_c, "lattice path supports square forms with one MPC"
         V = form.test_space
@@ -287,8 +356,20 @@ class CompiledLatticeForm:
 
         self.kernel_soa = compile_cell_kernel_soa(mesh, V, V, form.terms[0], self.dtype)
         if self.kernel_soa is not None:
+            # reorder cells t-major (t, i, j, k): grid slices of Ae become
+            # contiguous (stride-1 lanes) instead of stride-T on the cell axis
+            nxl, nyl, nzl = lat.dims
+            nzc_l = 1 if mesh.tdim == 2 else nzl
+            Tl = lat.cells_per_box
+            perm = (
+                np.arange(mesh.num_cells)
+                .reshape(nxl, nyl, nzc_l, Tl)
+                .transpose(3, 0, 1, 2)
+                .reshape(-1)
+            )
+            self._soa_perm = perm
             self.coords_soa = jnp.asarray(
-                mesh.points[mesh.cells].astype(_real_dtype(dtype)).transpose(1, 2, 0)
+                mesh.points[mesh.cells[perm]].astype(_real_dtype(dtype)).transpose(1, 2, 0)
             )
 
         # vertex deltas and diagonal offsets
@@ -348,14 +429,36 @@ class CompiledLatticeForm:
         self.mpc = mpc_r
 
         if self.kernel_soa is not None:
+            perm = self._soa_perm
+            inv_perm = np.empty_like(perm)
+            inv_perm[perm] = np.arange(len(perm))
             # static (nd, c) keep mask — bcs are fixed per compiled form
-            self._keep_soa = jnp.asarray((1.0 - bc_mask_np[V.dofmap]).T.copy())
+            self._keep_soa = jnp.asarray((1.0 - bc_mask_np[V.dofmap[perm]]).T.copy())
+            self._slave_mask_soa = jnp.asarray(
+                tr.slave_cell_mask[perm].astype(_real_dtype(self.dtype))
+            )
+            self._sc_soa = jnp.asarray(inv_perm[sc].astype(np.int32)) if len(sc) else jnp.zeros((0,), jnp.int32)
+            self._wdofmaps_soa = {
+                n: jnp.asarray(W.dofmap[perm], jnp.int32)
+                for n, W in zip(ct.coeff_names, ct.coeff_spaces)
+            }
             self._coeff_shapes = {
                 n: (W.element.ndofs, W.block_size)
                 for n, W in zip(ct.coeff_names, ct.coeff_spaces)
             }
+            if self.side_format == "cells":
+                er = tr.ext_dofs if len(sc) else np.zeros((0, 1), np.int64)
+                self._er_soa = jnp.asarray(
+                    np.where(er >= 0, er, V.num_dofs).astype(np.int32)
+                )
+                self._slaves_dev = (
+                    jnp.asarray(np.asarray(mpc_r.slaves, np.int32))
+                    if (mpc_r is not None and mpc_r.num_local_slaves)
+                    else jnp.zeros((0,), jnp.int32)
+                )
             self._assemble = jax.jit(self._assemble_impl_soa)
         else:
+            assert self.side_format == "csr", "side_format='cells' needs the SoA path"
             self._assemble = jax.jit(self._assemble_impl)
 
     # ------------------------------------------------------------------
@@ -427,22 +530,56 @@ class CompiledLatticeForm:
         wl_soa = {}
         for n in self.coeff_names:
             ndw, bsw = self._coeff_shapes[n]
-            wl = coeff_vecs[n][self._wdofmaps[n]]  # (c, ndw*bsw)
+            wl = coeff_vecs[n][self._wdofmaps_soa[n]]  # (c, ndw*bsw)
             wl_soa[n] = jnp.moveaxis(wl.reshape(-1, ndw, bsw), 0, -1)  # (ndw, bsw, c)
 
-        Ae = self.kernel_soa(coords_soa, wl_soa)  # (nd, nd, c)
+        Ae = self.kernel_soa(coords_soa, wl_soa)  # (nd, nd, c) — cells t-major
         Ae_bc = Ae * keep_soa[:, None, :] * keep_soa[None, :, :]
-        Ae_st = Ae_bc * (1.0 - self.slave_cell_mask).astype(Ae.dtype)
+        Ae_st = Ae_bc * (1.0 - self._slave_mask_soa).astype(Ae.dtype)
         nd = Ae.shape[0]
-        Ae_grid = Ae_st.reshape(nd, nd, nx, ny, nz_cells, T)
+        Ae_grid = Ae_st.reshape(nd, nd, T, nx, ny, nz_cells)
 
-        data = jnp.zeros((len(self.offsets), bs, bs, n0, n1, n2), dtype=Ae.dtype)
-        for t, a, b, oid, (di, dj, dk) in self.moves:
+        # group moves by (offset, corner shift) and build each diagonal as ONE
+        # fused pad(sum(...)) expression — a chain of .at[].add on the big
+        # data array costs a full read-modify-write per move (~96x) while
+        # padded sums fuse into one output pass per (oid, ci, cj)
+        grouped = {}
+        for t, a, b, oid, da in self.moves:
+            grouped.setdefault((oid, da), []).append((t, a, b))
+        data_parts = [
+            [[None for _ in range(bs)] for _ in range(bs)] for _ in self.offsets
+        ]
+        for (oid, (di, dj, dk)), tab in grouped.items():
+            pad = (
+                (di, n0 - di - nx),
+                (dj, n1 - dj - ny),
+                (dk, n2 - dk - nz_cells),
+            )
             for ci in range(bs):
                 for cj in range(bs):
-                    data = data.at[
-                        oid, ci, cj, di : di + nx, dj : dj + ny, dk : dk + nz_cells
-                    ].add(Ae_grid[a * bs + ci, b * bs + cj, :, :, :, t])
+                    blk = sum(Ae_grid[a * bs + ci, b * bs + cj, t] for t, a, b in tab)
+                    padded = jnp.pad(blk, pad)
+                    cur = data_parts[oid][ci][cj]
+                    data_parts[oid][ci][cj] = padded if cur is None else cur + padded
+        zerog = jnp.zeros((n0, n1, n2), Ae.dtype)
+        data = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        jnp.stack(
+                            [
+                                data_parts[oid][ci][cj]
+                                if data_parts[oid][ci][cj] is not None
+                                else zerog
+                                for cj in range(bs)
+                            ]
+                        )
+                        for ci in range(bs)
+                    ]
+                )
+                for oid in range(len(self.offsets))
+            ]
+        )
         zid = self.offsets.index((0, 0, 0))
         diag_add = jnp.zeros(self.V.num_dofs, dtype=Ae.dtype)
         if self._bc_dofs_grid.shape[0]:
@@ -451,22 +588,30 @@ class CompiledLatticeForm:
         for ci in range(bs):
             data = data.at[zid, ci, ci].add(dg[:, :, :, ci])
 
-        n_sc = self._sc_dev.shape[0]
+        n_sc = self._sc_soa.shape[0]
         nnz = self.pattern.nnz
+        dia = DIAMatrix(data, self.offsets, self.vshape, bs)
         if n_sc:
-            Ae_sl = jnp.moveaxis(Ae_bc[:, :, self._sc_dev], -1, 0)  # (n_sc, nd, nd)
+            Ae_sl = jnp.moveaxis(Ae_bc[:, :, self._sc_soa], -1, 0)  # (n_sc, nd, nd)
             Aep = jnp.einsum(
                 "ciw,cij,cjv->cwv", jnp.conj(self._Tr), Ae_sl, self._Tr,
                 preferred_element_type=Ae.dtype,
             )
-            vals = [Aep.reshape(-1)]
         else:
-            vals = [jnp.zeros(self._slots[0].shape, Ae.dtype)]
+            Aep = None
+        if self.side_format == "cells":
+            W = self._er_soa.shape[1] if self._er_soa.size else 1
+            Aep_c = Aep if Aep is not None else jnp.zeros((0, W, W), Ae.dtype)
+            return LatticeOperator(
+                dia, jnp.zeros((0,), Ae.dtype), None, None, self.V.num_dofs,
+                side_Aep=Aep_c, side_er=self._er_soa, slaves=self._slaves_dev,
+                diagval=diagval,
+            )
+        vals = [Aep.reshape(-1)] if Aep is not None else [jnp.zeros(self._slots[0].shape, Ae.dtype)]
         vals.append(jnp.full((self.n_slaves_diag,), diagval, dtype=Ae.dtype))
         side = jax.ops.segment_sum(
             jnp.concatenate(vals), jnp.concatenate(self._slots), num_segments=nnz + 1
         )[:nnz]
-        dia = DIAMatrix(data, self.offsets, self.vshape, bs)
         return LatticeOperator(dia, side, self._side_cols, self._side_rows, self.V.num_dofs)
 
     def assemble(self) -> LatticeOperator:

@@ -64,3 +64,31 @@ def test_lattice_vector_space():
     diff = (A_ref - A_lat.to_scipy()).tocoo()
     err = np.abs(diff.data).max() if diff.nnz else 0.0
     assert err < 1e-12, f"vector lattice mismatch: {err}"
+
+
+def test_lattice_cells_side_format():
+    """Unassembled ('cells') side block gives the same operator as 'csr'."""
+    import jax.numpy as jnp
+
+    mesh = create_unit_cube(3, 3, 3)
+    V = dmt.functionspace(mesh, ("Lagrange", 1))
+    bdofs = dmt.locate_dofs_geometrical(V, lambda x: np.isclose(x[1], 0.0))
+    bc = dmt.dirichletbc(0.0, bdofs, V)
+    mpc = dmt.MultiPointConstraint(V)
+    mpc.create_periodic_constraint_geometrical(
+        V, lambda x: np.isclose(x[0], 1.0),
+        lambda x: np.stack([1.0 - x[0], x[1], x[2]]), [bc],
+    )
+    mpc.finalize()
+    a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)), quad_degree=1)
+    A_csr = assemble_matrix_lattice(a, mpc, bcs=[bc], diagval=2.0).assemble()
+    A_cel = assemble_matrix_lattice(a, mpc, bcs=[bc], diagval=2.0, side_format="cells").assemble()
+    x = np.random.default_rng(5).standard_normal(V.num_dofs)
+    y1 = np.asarray(A_csr.matvec(jnp.asarray(x)))
+    y2 = np.asarray(A_cel.matvec(jnp.asarray(x)))
+    assert np.abs(y1 - y2).max() < 1e-12
+    d1 = np.asarray(A_csr.diagonal())
+    d2 = np.asarray(A_cel.diagonal())
+    assert np.abs(d1 - d2).max() < 1e-12
+    diff = (A_csr.to_scipy() - A_cel.to_scipy()).tocoo()
+    assert (np.abs(diff.data).max() if diff.nnz else 0.0) < 1e-12
