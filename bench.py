@@ -115,16 +115,49 @@ def main():
     log(f"chain times: T1={t1*1e3:.1f}ms T{K}={tK*1e3:.1f}ms -> {t_asm*1e3:.2f} ms/assembly")
     log(f"constrained assembly: {mdof_s:.1f} MDoF/s")
 
-    # full solve: assemble + Jacobi-CG in one dispatch
+    # full solve: geometric-multigrid-preconditioned CG (the BoomerAMG
+    # analogue), falling back to Jacobi if the hierarchy can't be built
     A = clf.assemble()
     L = dmt.LinearForm(V, lambda v, c: 4.0 * v.value)
     b = jnp.asarray(np.asarray(dmt.assemble_vector(L, mpc, dtype=np.float32)))
     b = jnp.asarray(np.asarray(dmt.set_bc(b, [bc])))
     from dolfinx_mpc_tpu.la.solvers import cg, jacobi_preconditioner
 
+    M = None
+    try:
+        from dolfinx_mpc_tpu.la.gmg import LatticeGMG, build_gmg_hierarchy
+
+        def make_level(m):
+            mesh_l = create_unit_cube(m, m, m)
+            V_l = dmt.functionspace(mesh_l, ("Lagrange", 1))
+            bdofs_l = dmt.locate_dofs_geometrical(
+                V_l, lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], 1.0)
+            )
+            bc_l = dmt.dirichletbc(0.0, bdofs_l, V_l)
+            mpc_l = dmt.MultiPointConstraint(V_l, dtype=np.float32)
+            mpc_l.create_periodic_constraint_geometrical(
+                V_l, lambda x: np.isclose(x[0], 1.0),
+                lambda x: np.stack([1.0 - x[0], x[1], x[2]]), [bc_l],
+            )
+            mpc_l.finalize()
+            a_l = dmt.BilinearForm(
+                V_l, lambda u, v, c: inner(grad(u), grad(v)), quad_degree=1
+            )
+            return assemble_matrix_lattice(a_l, mpc_l, bcs=[bc_l], dtype=np.float32,
+                                           side_format="cells")
+
+        t0 = time.time()
+        ops, masks = build_gmg_hierarchy(make_level, n, 4, min_n=8)
+        ops[0] = A
+        M = LatticeGMG(ops, free_masks=masks)
+        log(f"GMG hierarchy ({len(ops)} levels): {time.time()-t0:.1f}s")
+    except Exception as e:
+        log(f"GMG unavailable ({e}); Jacobi fallback")
+        M = jacobi_preconditioner(A.diagonal())
+
     @jax.jit
     def solve(b):
-        return cg(A.matvec, b, M=jacobi_preconditioner(A.diagonal()), rtol=1e-6, max_it=3000)
+        return cg(A.matvec, b, M=M, rtol=1e-6, max_it=3000)
 
     x, its, rn = solve(b)
     x.block_until_ready()

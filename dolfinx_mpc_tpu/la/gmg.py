@@ -1,0 +1,165 @@
+"""Geometric multigrid preconditioner for lattice operators.
+
+The reference's solver recipe is CG + BoomerAMG/GAMG (bench_periodic.py:
+115-133).  On structured lattices the TPU-native equivalent is geometric
+multigrid by re-discretization: every level is a `LatticeOperator` assembled
+on the coarsened box mesh (the assembly is a jitted stencil accumulation, so
+building the hierarchy is cheap), smoothing is weighted Jacobi, and the
+transfer operators are linear interpolation / full-weighting implemented as
+strided slicing on the vertex grid — no gather, no scatter, memory-roofline
+ops throughout.  The V-cycle is symmetric (equal pre/post smoothing), making
+it a valid SPD preconditioner for CG.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["LatticeGMG", "build_gmg_hierarchy"]
+
+
+def _restrict1(x, axis):
+    """Full-weighting along one axis: size 2m+1 -> m+1."""
+    sl = lambda s: tuple(s if a == axis else slice(None) for a in range(x.ndim))
+    e = x[sl(slice(0, None, 2))]  # (m+1,)
+    o = x[sl(slice(1, None, 2))]  # (m,)
+    pad_lo = [(0, 0)] * x.ndim
+    pad_lo[axis] = (1, 0)
+    pad_hi = [(0, 0)] * x.ndim
+    pad_hi[axis] = (0, 1)
+    return 0.5 * e + 0.25 * (jnp.pad(o, pad_lo) + jnp.pad(o, pad_hi))
+
+
+def _prolong1(c, axis):
+    """Linear interpolation along one axis: size m+1 -> 2m+1."""
+    nd = c.ndim
+    sl = lambda s: tuple(s if a == axis else slice(None) for a in range(nd))
+    lo = c[sl(slice(0, -1))]
+    hi = c[sl(slice(1, None))]
+    mid = 0.5 * (lo + hi)
+    m1 = c.shape[axis]
+    out_shape = list(c.shape)
+    out_shape[axis] = 2 * m1 - 1
+    out = jnp.zeros(out_shape, c.dtype)
+    out = out.at[sl(slice(0, None, 2))].set(c)
+    out = out.at[sl(slice(1, None, 2))].set(mid)
+    return out
+
+
+class LatticeGMG:
+    """Symmetric V-cycle over a list of LatticeOperators (fine -> coarse)."""
+
+    def __init__(self, ops, n_pre=1, n_post=1, omega=0.8, coarse_iters=16, free_masks=None):
+        self.ops = ops
+        self.n_pre, self.n_post = n_pre, n_post
+        self.omega = omega
+        self.coarse_iters = coarse_iters
+        # free_masks[l]: 1.0 on unconstrained dofs, 0.0 on bc/slave rows —
+        # residuals/corrections are projected onto the free subspace around
+        # each transfer so constrained rows don't pollute coarse levels
+        self.free_masks = free_masks
+        self._inv_diag = []
+        for A in ops:
+            d = A.diagonal()
+            self._inv_diag.append(jnp.where(d != 0, 1.0 / d, 0.0))
+        # transfer shapes: grid dims between levels must satisfy n_f = 2*n_c
+        for Af, Ac in zip(ops[:-1], ops[1:]):
+            for nf, nc in zip(Af.dia.vshape, Ac.dia.vshape):
+                assert nf == nc or nf == 2 * nc - 1, (Af.dia.vshape, Ac.dia.vshape)
+
+    def _to_grid(self, A, x):
+        n0, n1, n2 = A.dia.vshape
+        return x.reshape(n0, n1, n2, A.dia.bs)
+
+    def _smooth(self, lvl, x, b, n_sweeps):
+        A = self.ops[lvl]
+        inv = self._inv_diag[lvl]
+        for _ in range(n_sweeps):
+            x = x + self.omega * inv * (b - A.matvec(x))
+        return x
+
+    def _restrict(self, lvl, r):
+        # R = P^T exactly (x2 per coarsened axis on top of full weighting):
+        # with re-discretized coarse stiffness this gives near-textbook
+        # V-cycle rates, measured ~3x fewer CG iterations than the
+        # unit-row-sum weighting
+        Af, Ac = self.ops[lvl], self.ops[lvl + 1]
+        g = self._to_grid(Af, r)
+        for ax in range(3):
+            if Af.dia.vshape[ax] != Ac.dia.vshape[ax]:
+                g = 2.0 * _restrict1(g, ax)
+        return g.reshape(-1)
+
+    def _prolong(self, lvl, xc):
+        Af, Ac = self.ops[lvl], self.ops[lvl + 1]
+        g = self._to_grid(Ac, xc)
+        for ax in range(3):
+            if Af.dia.vshape[ax] != Ac.dia.vshape[ax]:
+                g = _prolong1(g, ax)
+        return g.reshape(-1)
+
+    def _coarse_solve(self, b):
+        A = self.ops[-1]
+        inv = self._inv_diag[-1]
+        x = jnp.zeros_like(b)
+        r = b
+        z = inv * r
+        p = z
+        rz = jnp.vdot(r, z)
+
+        def body(i, s):
+            x, r, z, p, rz = s
+            Ap = A.matvec(p)
+            alpha = rz / jnp.where(jnp.vdot(p, Ap) == 0, 1.0, jnp.vdot(p, Ap))
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = inv * r
+            rzn = jnp.vdot(r, z)
+            p = z + (rzn / jnp.where(rz == 0, 1.0, rz)) * p
+            return (x, r, z, p, rzn)
+
+        x, *_ = jax.lax.fori_loop(0, self.coarse_iters, body, (x, r, z, p, rz))
+        return x
+
+    def _mask(self, lvl, v):
+        if self.free_masks is None:
+            return v
+        return v * self.free_masks[lvl].astype(v.dtype)
+
+    def _vcycle(self, lvl, b):
+        if lvl == len(self.ops) - 1:
+            return self._coarse_solve(b)
+        x = jnp.zeros_like(b)
+        x = self._smooth(lvl, x, b, self.n_pre)
+        r = self._mask(lvl, b - self.ops[lvl].matvec(x))
+        rc = self._mask(lvl + 1, self._restrict(lvl, r))
+        xc = self._vcycle(lvl + 1, rc)
+        x = x + self._mask(lvl, self._prolong(lvl, self._mask(lvl + 1, xc)))
+        return self._smooth(lvl, x, b, self.n_post)
+
+    def __call__(self, r):
+        return self._vcycle(0, r)
+
+
+def build_gmg_hierarchy(make_compiled_form, n, n_levels, min_n=4):
+    """Build ([finest ... coarsest] LatticeOperators, free-dof masks) by
+    re-discretization.
+
+    make_compiled_form(n) must return a CompiledLatticeForm for mesh
+    resolution n (same physics, bcs, and constraints regenerated
+    geometrically on each level)."""
+    ops, masks = [], []
+    for l in range(n_levels):
+        nl = n >> l
+        if nl < min_n or (nl % 2 and l + 1 < n_levels):
+            break
+        clf = make_compiled_form(nl)
+        ops.append(clf.assemble())
+        m = np.ones(clf.V.num_dofs, np.float32)
+        m[np.asarray(clf._bc_dofs_grid)] = 0.0
+        if clf.mpc is not None and clf.mpc.num_local_slaves:
+            m[np.asarray(clf.mpc.slaves)] = 0.0
+        masks.append(jnp.asarray(m))
+    return ops, masks

@@ -193,14 +193,14 @@ class LatticeOperator:
         self.diagval = diagval
 
     def tree_flatten(self):
-        return (self.dia, self.side_data, self.side_Aep, self.diagval), (
-            self.side_cols, self.side_rows, self.side_nrows, self.side_er, self.slaves,
-        )
+        ch = (self.dia, self.side_data, self.side_Aep, self.diagval,
+              self.side_cols, self.side_rows, self.side_er, self.slaves)
+        return ch, (self.side_nrows,)
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(ch[0], ch[1], aux[0], aux[1], aux[2], side_Aep=ch[2],
-                   side_er=aux[3], slaves=aux[4], diagval=ch[3])
+        return cls(ch[0], ch[1], ch[4], ch[5], aux[0], side_Aep=ch[2],
+                   side_er=ch[6], slaves=ch[7], diagval=ch[3])
 
     @property
     def shape(self):

@@ -1,0 +1,50 @@
+"""Geometric multigrid: CG iteration counts must beat Jacobi substantially
+and stay near-constant in mesh size (the BoomerAMG parity story,
+SURVEY.md §7 hard part (e))."""
+
+import numpy as np
+import pytest
+
+import dolfinx_mpc_tpu as dmt
+from dolfinx_mpc_tpu.fem.forms import grad, inner
+from dolfinx_mpc_tpu.fem.mesh import create_unit_cube
+from dolfinx_mpc_tpu.la.gmg import LatticeGMG, build_gmg_hierarchy
+from dolfinx_mpc_tpu.la.solvers import cg, jacobi_preconditioner
+from dolfinx_mpc_tpu.ops.lattice import assemble_matrix_lattice
+
+
+def _make(n):
+    mesh = create_unit_cube(n, n, n)
+    V = dmt.functionspace(mesh, ("Lagrange", 1))
+    bdofs = dmt.locate_dofs_geometrical(
+        V, lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], 1.0)
+    )
+    bc = dmt.dirichletbc(0.0, bdofs, V)
+    mpc = dmt.MultiPointConstraint(V)
+    mpc.create_periodic_constraint_geometrical(
+        V, lambda x: np.isclose(x[0], 1.0),
+        lambda x: np.stack([1.0 - x[0], x[1], x[2]]), [bc],
+    )
+    mpc.finalize()
+    a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)), quad_degree=1)
+    return assemble_matrix_lattice(a, mpc, bcs=[bc], side_format="cells"), V
+
+
+def test_gmg_beats_jacobi_and_scales():
+    import jax.numpy as jnp
+
+    its = {}
+    for n in (16, 32):
+        clf, V = _make(n)
+        ops, masks = build_gmg_hierarchy(lambda m: _make(m)[0], n, 4)
+        A = ops[0]
+        b = jnp.asarray(np.random.default_rng(0).standard_normal(V.num_dofs))
+        xj, itj, _ = cg(A.matvec, b, M=jacobi_preconditioner(A.diagonal()), rtol=1e-10, max_it=3000)
+        M = LatticeGMG(ops, free_masks=masks)
+        xg, itg, _ = cg(A.matvec, b, M=M, rtol=1e-10, max_it=3000)
+        assert np.abs(np.asarray(xj) - np.asarray(xg)).max() < 1e-6
+        its[n] = (int(itj), int(itg))
+    for n, (itj, itg) in its.items():
+        assert itg < itj / 3, f"n={n}: GMG {itg} vs Jacobi {itj}"
+    # near-mesh-independence: allow mild growth only
+    assert its[32][1] <= its[16][1] * 1.8, its
