@@ -177,6 +177,9 @@ class MultiPointConstraint:
         """Freeze into padded device tables.  Unlike the reference there is no
         extended function space to build (mpc_helpers.h:139-235) — masters are
         already globally addressable."""
+        from .utils.timing import Timer
+
+        _t = Timer("~MPC: Finalize MPC").start()
         assert self.finalized is None, "already finalized"
         n_s = len(self._slaves)
         num_dofs = self.V.num_dofs
@@ -225,6 +228,7 @@ class MultiPointConstraint:
             jnp.asarray(is_slave),
             num_dofs,
         )
+        _t.stop()
 
     # -- accessors mirroring the reference ------------------------------
     @property

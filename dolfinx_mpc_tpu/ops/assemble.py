@@ -342,28 +342,34 @@ def assemble_matrix(form: Form, constraint=None, bcs=None, diagval=1.0, dtype=No
     """Assemble a bilinear form with MPC elimination and Dirichlet handling
     (reference assemble_matrix.py:21-65).  `constraint` may be one MPC or a
     pair (row, col) for rectangular assembly (:44-46)."""
+    from ..utils.timing import timed
+
     bcs = bcs or []
     mpc_r, mpc_c = _mpc_pair(constraint)
     if dtype is None:
         dtype = mpc_r.dtype if mpc_r is not None else np.float64
-    cm = _get_compiled_matrix(form, constraint, dtype)
-    Vt, Vs = form.test_space, form.trial_space
-    bc_row = jnp.asarray(_bc_masks(Vt, bcs, dtype))
-    bc_col = jnp.asarray(_bc_masks(Vs, bcs, dtype)) if Vs is not Vt else bc_row
-    # diagonal: diagval where bc (square forms only)
-    bc_diag = np.zeros(Vt.num_dofs, dtype=dtype)
-    if Vt.num_dofs == Vs.num_dofs:
-        for bc in bcs:
-            bc_diag[bc.dofs] = diagval
-    coeff_vecs = [ _coeff_vectors(t.term) for t in cm.terms ]
-    data = cm.assemble_fn(cm.tables, coeff_vecs, bc_row, bc_col, jnp.asarray(bc_diag), jnp.asarray(diagval, dtype=dtype))
-    return MPCMatrix(
-        data,
-        jnp.asarray(cm.pattern.indices),
-        jnp.asarray(cm.pattern.indptr),
-        jnp.asarray(cm.pattern.row_ids),
-        cm.pattern.shape,
-    )
+    with timed("~MPC: Assemble matrix"):
+        cm = _get_compiled_matrix(form, constraint, dtype)
+        Vt, Vs = form.test_space, form.trial_space
+        bc_row = jnp.asarray(_bc_masks(Vt, bcs, dtype))
+        bc_col = jnp.asarray(_bc_masks(Vs, bcs, dtype)) if Vs is not Vt else bc_row
+        # diagonal: diagval where bc (square forms only)
+        bc_diag = np.zeros(Vt.num_dofs, dtype=dtype)
+        if Vt.num_dofs == Vs.num_dofs:
+            for bc in bcs:
+                bc_diag[bc.dofs] = diagval
+        coeff_vecs = [_coeff_vectors(t.term) for t in cm.terms]
+        data = cm.assemble_fn(
+            cm.tables, coeff_vecs, bc_row, bc_col, jnp.asarray(bc_diag),
+            jnp.asarray(diagval, dtype=dtype),
+        )
+        return MPCMatrix(
+            data,
+            jnp.asarray(cm.pattern.indices),
+            jnp.asarray(cm.pattern.indptr),
+            jnp.asarray(cm.pattern.row_ids),
+            cm.pattern.shape,
+        )
 
 
 def create_sparsity_pattern(form: Form, mpc) -> SlotPattern:
@@ -460,11 +466,14 @@ def _get_compiled_vector(form, constraint, dtype):
 def assemble_vector(form: Form, constraint=None, b=None, dtype=None):
     """Assemble a linear form with the K^H b MPC redistribution
     (reference assemble_vector.py:79-104)."""
+    from ..utils.timing import timed
+
     if dtype is None:
         dtype = constraint.dtype if constraint is not None else np.float64
-    cv = _get_compiled_vector(form, constraint, dtype)
-    coeff_vecs = [_coeff_vectors(t.term) for t in cv.terms]
-    out = cv.assemble_fn(cv.tables, coeff_vecs)
+    with timed("~MPC: Assemble vector"):
+        cv = _get_compiled_vector(form, constraint, dtype)
+        coeff_vecs = [_coeff_vectors(t.term) for t in cv.terms]
+        out = cv.assemble_fn(cv.tables, coeff_vecs)
     if b is not None:
         return b + out
     return out

@@ -71,12 +71,16 @@ class LinearProblem:
         return self._b
 
     def solve(self) -> Function:
+        from .utils.timing import timed
+
         A, b = self.assemble()
-        x, its, rnorm = krylov_solve(A.matvec, b, self.options, diag=A.diagonal())
+        with timed("~MPC: Solve linear problem"):
+            x, its, rnorm = krylov_solve(A.matvec, b, self.options, diag=A.diagonal())
         self.its = int(its)
         self.rnorm = float(rnorm)
         if self.mpc is not None:
-            x = self.mpc.finalized.backsubstitution(x)
+            with timed("~MPC: Backsubstitution"):
+                x = self.mpc.finalized.backsubstitution(x)
         self.u.x.array[:] = np.asarray(x)
         return self.u
 

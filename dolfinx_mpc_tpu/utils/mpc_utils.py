@@ -72,10 +72,47 @@ def create_normal_approximation(V: FunctionSpace, mt: MeshTags, tag: int) -> Fun
     return nh
 
 
-def facet_normal_approximation(V, mt: MeshTags, mt_id: int, tangent=False, **kwargs) -> Function:
-    """Reference mpc_utils.py:51-148 solves a mass-matrix projection; the
-    averaged-normal approximation is equivalent for flat facets and is what
-    the C++ path uses.  `tangent=True` returns a unit tangent instead."""
+def facet_normal_approximation(
+    V, mt: MeshTags, mt_id: int, tangent=False, method="project", **kwargs
+) -> Function:
+    """Projection of the facet normal onto V (reference mpc_utils.py:51-148):
+    solve  inner(n_h, v) ds(mt_id) = inner(n, v) ds(mt_id)  with every dof NOT
+    on the tagged facets deactivated via a zero DirichletBC (the reference's
+    'deactivated-interior' trick).  `method="average"` falls back to the
+    averaged geometric normal (the C++ `create_normal_approximation` path);
+    `tangent=True` rotates to a unit tangent."""
+    if method == "project" and not tangent:
+        import jax.numpy as jnp
+
+        from ..fem.forms import BilinearForm, LinearForm, inner
+        from ..fem.functionspace import dirichletbc, locate_dofs_topological
+        from ..la.solvers import cg, jacobi_preconditioner
+        from ..ops.assemble import assemble_matrix, assemble_vector, set_bc
+
+        base = V if V.parent is None else V.parent
+        facets = mt.find(mt_id)
+        a = BilinearForm(
+            base, lambda u, v, c: inner(u, v), integral="exterior_facet", entities=facets
+        )
+        L = LinearForm(
+            base, lambda v, c: inner(c.n, v), integral="exterior_facet", entities=facets
+        )
+        on_facets = locate_dofs_topological(base, base.mesh.tdim - 1, facets)
+        deactivated = np.setdiff1d(np.arange(base.num_blocks), on_facets)
+        bs = base.block_size
+        bc = dirichletbc(np.zeros(bs) if bs > 1 else 0.0, deactivated, base)
+        A = assemble_matrix(a, None, bcs=[bc], diagval=1.0)
+        b = assemble_vector(L, None)
+        b = set_bc(b, [bc])
+        x, _, _ = cg(A.matvec, b, M=jacobi_preconditioner(A.diagonal()), rtol=1e-12)
+        arr = np.array(x).reshape(-1, bs)
+        norms = np.linalg.norm(arr, axis=1)
+        nz = norms > 1e-13
+        arr[nz] /= norms[nz, None]
+        nh = Function(base, name="n_proj")
+        nh.x.array[:] = arr.reshape(-1)
+        return nh
+
     nh = create_normal_approximation(V, mt, mt_id)
     if not tangent:
         return nh
