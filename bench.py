@@ -65,11 +65,16 @@ def main():
     )
     mpc.finalize()
     a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)), quad_degree=1)
-    # side_format="cells": the MPC interface block stays in eliminated
-    # per-cell form (identical operator action, verified in tests) — the
-    # headline metric is time-to-operator, matching the matrix-free option
-    # BASELINE.json endorses alongside the assembled path.
-    clf = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32, side_format="cells")
+    # side format preference: "fold" (plane identification — matching
+    # periodic constraints collapse into the stencil, zero irregular ops) ->
+    # "cells" (unassembled per-cell interface blocks).  Both verified
+    # operator-identical to the assembled CSR side in tests/test_lattice.py.
+    try:
+        clf = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32, side_format="fold")
+        log("side format: fold")
+    except ValueError:
+        clf = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32, side_format="cells")
+        log("side format: cells")
     log(
         f"setup {time.time()-t0:.1f}s: {mesh.num_cells} tets, {V.num_dofs} dofs, "
         f"{mpc.num_local_slaves} slaves, side nnz {clf.pattern.nnz}"
@@ -89,7 +94,7 @@ def main():
                 acc = acc + r.dia.data.ravel()[0]
                 if r.side_Aep is not None and r.side_Aep.shape[0]:
                     acc = acc + r.side_Aep.ravel()[0]
-                elif r.side_data.shape[0]:
+                elif r.side_data is not None and r.side_data.shape[0]:
                     acc = acc + r.side_data[0]
                 return acc
             return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
@@ -143,8 +148,12 @@ def main():
             a_l = dmt.BilinearForm(
                 V_l, lambda u, v, c: inner(grad(u), grad(v)), quad_degree=1
             )
-            return assemble_matrix_lattice(a_l, mpc_l, bcs=[bc_l], dtype=np.float32,
-                                           side_format="cells")
+            try:
+                return assemble_matrix_lattice(a_l, mpc_l, bcs=[bc_l], dtype=np.float32,
+                                               side_format="fold")
+            except ValueError:
+                return assemble_matrix_lattice(a_l, mpc_l, bcs=[bc_l], dtype=np.float32,
+                                               side_format="cells")
 
         t0 = time.time()
         ops, masks = build_gmg_hierarchy(make_level, n, 4, min_n=8)

@@ -181,7 +181,8 @@ class LatticeOperator:
     """
 
     def __init__(self, dia: DIAMatrix, side_data, side_cols, side_rows, side_nrows,
-                 side_Aep=None, side_er=None, slaves=None, diagval=None):
+                 side_Aep=None, side_er=None, slaves=None, diagval=None,
+                 fold_axis=None, fold_mask=None, fold_pairs=None):
         self.dia = dia
         self.side_data = side_data
         self.side_cols = side_cols
@@ -191,16 +192,23 @@ class LatticeOperator:
         self.side_er = side_er
         self.slaves = slaves
         self.diagval = diagval
+        self.fold_axis = fold_axis
+        self.fold_mask = fold_mask
+        self.fold_pairs = fold_pairs
 
     def tree_flatten(self):
+        # fold_pairs (host numpy, to_scipy only) deliberately not carried —
+        # array-valued aux breaks jit pytree equality
         ch = (self.dia, self.side_data, self.side_Aep, self.diagval,
-              self.side_cols, self.side_rows, self.side_er, self.slaves)
-        return ch, (self.side_nrows,)
+              self.side_cols, self.side_rows, self.side_er, self.slaves,
+              self.fold_mask)
+        return ch, (self.side_nrows, self.fold_axis)
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
         return cls(ch[0], ch[1], ch[4], ch[5], aux[0], side_Aep=ch[2],
-                   side_er=ch[6], slaves=ch[7], diagval=ch[3])
+                   side_er=ch[6], slaves=ch[7], diagval=ch[3],
+                   fold_axis=aux[1], fold_mask=ch[8])
 
     @property
     def shape(self):
@@ -209,7 +217,24 @@ class LatticeOperator:
     def _unassembled(self):
         return self.side_Aep is not None
 
+    def _grid(self, x):
+        n0, n1, n2 = self.dia.vshape
+        return x.reshape(n0, n1, n2, self.dia.bs)
+
     def matvec(self, x):
+        if self.fold_axis is not None:
+            # plane identification: u = K x (copy first plane onto the slave
+            # plane), y = A u, fold slave-plane rows back (K^T), slave rows
+            # get diagval — K^H A K without any irregular ops
+            ax = self.fold_axis
+            m = self.fold_mask
+            xg = jnp.moveaxis(self._grid(x), ax, 0)
+            u = xg.at[-1].set(jnp.where(m, xg[0], xg[-1]))
+            y = self.dia.matvec(jnp.moveaxis(u, 0, ax).reshape(-1))
+            yg = jnp.moveaxis(self._grid(y), ax, 0)
+            yg = yg.at[0].add(jnp.where(m, yg[-1], 0))
+            yg = yg.at[-1].set(jnp.where(m, self.diagval * xg[-1], yg[-1]))
+            return jnp.moveaxis(yg, 0, ax).reshape(-1)
         y = self.dia.matvec(x)
         if self._unassembled():
             if self.side_Aep.shape[0]:
@@ -229,6 +254,13 @@ class LatticeOperator:
         return y
 
     def diagonal(self):
+        if self.fold_axis is not None:
+            ax = self.fold_axis
+            m = self.fold_mask
+            dg = jnp.moveaxis(self._grid(self.dia.diagonal()), ax, 0)
+            dg = dg.at[0].add(jnp.where(m, dg[-1], 0))
+            dg = dg.at[-1].set(jnp.where(m, self.diagval, dg[-1]))
+            return jnp.moveaxis(dg, 0, ax).reshape(-1)
         d = self.dia.diagonal()
         if self._unassembled():
             if self.side_Aep.shape[0]:
@@ -248,6 +280,25 @@ class LatticeOperator:
 
     def to_scipy(self):
         import scipy.sparse as sp
+
+        if self.fold_axis is not None:
+            assert self.fold_pairs is not None, "to_scipy needs the host-side operator"
+            N = self.shape[0]
+            slaves, masters = self.fold_pairs
+            A = self.dia.to_scipy()
+            K = sp.lil_matrix((N, N))
+            K.setdiag(1.0)
+            for s, mm in zip(slaves, masters):
+                K[s, s] = 0.0
+                K[s, mm] = 1.0
+            K = K.tocsr()
+            A2 = (K.T @ A @ K).tolil()
+            A2[slaves, :] = 0.0
+            A2[:, slaves] = 0.0
+            dv = float(np.real(np.asarray(self.diagval)))
+            for s in slaves:
+                A2[s, s] = dv
+            return A2.tocsr()
 
         A = self.dia.to_scipy().tolil()
         if self._unassembled():
@@ -300,6 +351,42 @@ def _vertex_delta_table(mesh, lat: LatticeInfo):
             k = v % n2
             deltas[t, a] = (i, j, k)
     return deltas
+
+
+def _detect_lattice_wrap(mpc, vshape, bs):
+    """Check that the MPC is a pure lattice-plane identification: every slave
+    has exactly one master with coefficient 1, slaves live on the LAST plane
+    of one axis, masters at the same (other-coords, component) on the FIRST
+    plane.  Returns (axis, fold_mask over that plane incl. bs, (slaves,
+    masters) host arrays); raises ValueError otherwise."""
+    if mpc is None or mpc.num_local_slaves == 0:
+        raise ValueError("no constraint to fold")
+    co = mpc._np_coeffs
+    ma = mpc._np_masters
+    nzc = (co != 0).sum(axis=1)
+    if not ((nzc == 1).all() and np.allclose(co[np.arange(len(co)), np.argmax(co != 0, axis=1)], 1.0)):
+        raise ValueError("constraint is not a pure identification (coeff != 1 or >1 master)")
+    slaves = np.asarray(mpc.slaves, np.int64)
+    masters = ma[np.arange(len(ma)), np.argmax(co != 0, axis=1)]
+    n0, n1, n2 = vshape
+
+    def coords_of(dofs):
+        blk, comp = dofs // bs, dofs % bs
+        i = blk // (n1 * n2)
+        j = (blk % (n1 * n2)) // n2
+        k = blk % n2
+        return np.stack([i, j, k, comp], axis=1)
+
+    cs, cm = coords_of(slaves), coords_of(masters)
+    for axis, nax in enumerate((n0, n1, n2)):
+        if (cs[:, axis] == nax - 1).all() and (cm[:, axis] == 0).all():
+            others = [a for a in range(4) if a != axis]
+            if (cs[:, others] == cm[:, others]).all():
+                plane_shape = tuple(s for a, s in enumerate((n0, n1, n2)) if a != axis) + (bs,)
+                mask = np.zeros(plane_shape, bool)
+                mask[tuple(cs[:, a] for a in others)] = True
+                return axis, mask, (slaves, masters)
+    raise ValueError("constraint is not an axis-plane wrap")
 
 
 def assemble_matrix_lattice(
@@ -456,6 +543,11 @@ class CompiledLatticeForm:
                     if (mpc_r is not None and mpc_r.num_local_slaves)
                     else jnp.zeros((0,), jnp.int32)
                 )
+            elif self.side_format == "fold":
+                self._fold_axis, fold_mask, self._fold_pairs = _detect_lattice_wrap(
+                    mpc_r, self.vshape, bs
+                )
+                self._fold_mask = jnp.asarray(fold_mask)
             self._assemble = jax.jit(self._assemble_impl_soa)
         else:
             assert self.side_format == "csr", "side_format='cells' needs the SoA path"
@@ -535,7 +627,12 @@ class CompiledLatticeForm:
 
         Ae = self.kernel_soa(coords_soa, wl_soa)  # (nd, nd, c) — cells t-major
         Ae_bc = Ae * keep_soa[:, None, :] * keep_soa[None, :, :]
-        Ae_st = Ae_bc * (1.0 - self._slave_mask_soa).astype(Ae.dtype)
+        if self.side_format == "fold":
+            # elimination happens in the operator's fold (plane identification)
+            # — slave cells stay in the stencil, no side block at all
+            Ae_st = Ae_bc
+        else:
+            Ae_st = Ae_bc * (1.0 - self._slave_mask_soa).astype(Ae.dtype)
         nd = Ae.shape[0]
         Ae_grid = Ae_st.reshape(nd, nd, T, nx, ny, nz_cells)
 
@@ -591,6 +688,11 @@ class CompiledLatticeForm:
         n_sc = self._sc_soa.shape[0]
         nnz = self.pattern.nnz
         dia = DIAMatrix(data, self.offsets, self.vshape, bs)
+        if self.side_format == "fold":
+            return LatticeOperator(
+                dia, jnp.zeros((0,), Ae.dtype), None, None, self.V.num_dofs,
+                diagval=diagval, fold_axis=self._fold_axis, fold_mask=self._fold_mask,
+            )
         if n_sc:
             Ae_sl = jnp.moveaxis(Ae_bc[:, :, self._sc_soa], -1, 0)  # (n_sc, nd, nd)
             Aep = jnp.einsum(
@@ -619,9 +721,12 @@ class CompiledLatticeForm:
             n: jnp.asarray(self.term.coefficients[n].x.array) for n in self.coeff_names
         }
         if self.kernel_soa is not None:
-            return self._assemble(
+            op = self._assemble(
                 self.coords_soa, self._keep_soa, coeff_vecs, jnp.asarray(self.diagval, self.dtype)
             )
+            if self.side_format == "fold":
+                op.fold_pairs = self._fold_pairs  # host data for to_scipy
+            return op
         return self._assemble(
             self.coords, self._bc_mask, coeff_vecs, jnp.asarray(self.diagval, self.dtype)
         )

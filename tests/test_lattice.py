@@ -92,3 +92,38 @@ def test_lattice_cells_side_format():
     assert np.abs(d1 - d2).max() < 1e-12
     diff = (A_csr.to_scipy() - A_cel.to_scipy()).tocoo()
     assert (np.abs(diff.data).max() if diff.nnz else 0.0) < 1e-12
+
+
+def test_lattice_fold_format():
+    """'fold' (plane-identification) operator equals the csr-side operator
+    for matching periodic constraints."""
+    import jax.numpy as jnp
+
+    mesh = create_unit_cube(4, 3, 3)
+    V = dmt.functionspace(mesh, ("Lagrange", 1))
+    bdofs = dmt.locate_dofs_geometrical(V, lambda x: np.isclose(x[1], 0.0))
+    bc = dmt.dirichletbc(0.0, bdofs, V)
+    mpc = dmt.MultiPointConstraint(V)
+    mpc.create_periodic_constraint_geometrical(
+        V, lambda x: np.isclose(x[0], 1.0),
+        lambda x: np.stack([1.0 - x[0], x[1], x[2]]), [bc],
+    )
+    mpc.finalize()
+    a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)) + inner(u, v), quad_degree=2)
+    A_csr = assemble_matrix_lattice(a, mpc, bcs=[bc], diagval=3.0).assemble()
+    A_fold = assemble_matrix_lattice(a, mpc, bcs=[bc], diagval=3.0, side_format="fold").assemble()
+    x = np.random.default_rng(9).standard_normal(V.num_dofs)
+    y1 = np.asarray(A_csr.matvec(jnp.asarray(x)))
+    y2 = np.asarray(A_fold.matvec(jnp.asarray(x)))
+    assert np.abs(y1 - y2).max() < 1e-11, np.abs(y1 - y2).max()
+    assert np.abs(np.asarray(A_csr.diagonal()) - np.asarray(A_fold.diagonal())).max() < 1e-11
+    diff = (A_csr.to_scipy() - A_fold.to_scipy()).tocoo()
+    assert (np.abs(diff.data).max() if diff.nnz else 0.0) < 1e-11
+    # non-foldable constraint raises
+    mpc2 = dmt.MultiPointConstraint(V)
+    mpc2.create_general_constraint(
+        {np.array([1.0, 1.0, 1.0]).tobytes(): {np.array([0.0, 0.0, 0.0]).tobytes(): 0.5}}
+    )
+    mpc2.finalize()
+    with pytest.raises(ValueError):
+        assemble_matrix_lattice(a, mpc2, bcs=[bc], side_format="fold")
