@@ -56,11 +56,39 @@ class LinearProblem:
 
     def assemble(self):
         dtype = self.mpc.dtype if self.mpc is not None else np.float64
-        self._A = assemble_matrix(self._a, self.mpc, self.bcs, dtype=dtype)
+        self._A = self._assemble_A(dtype)
         b = assemble_vector(self._L, self.mpc, dtype=dtype)
         b = apply_lifting(b, [self._a], [self.bcs], self.mpc, dtype=dtype)
         self._b = set_bc(b, self.bcs)
         return self._A, self._b
+
+    def _assemble_A(self, dtype):
+        """Prefer the scatter-free lattice fast path (structured box meshes,
+        P1 cell forms); fall back to the general slot-CSR assembler."""
+        try:
+            from .ops.lattice import assemble_matrix_lattice, get_lattice_info
+
+            if get_lattice_info(self._a.test_space.mesh) is None:
+                raise ValueError
+            key = ("lattice_clf", id(self.mpc), tuple(id(bc) for bc in self.bcs), np.dtype(dtype).str)
+            cache = self._a.__dict__.setdefault("_compiled_cache", {})
+            clf = cache.get(key)
+            if clf is None:
+                for fmt in ("fold", "cells"):
+                    try:
+                        clf = assemble_matrix_lattice(
+                            self._a, self.mpc, bcs=self.bcs, dtype=dtype, side_format=fmt
+                        )
+                        break
+                    except (ValueError, AssertionError):
+                        clf = None
+                if clf is None or clf.kernel_soa is None:
+                    raise ValueError
+                cache[key] = clf
+                cache.setdefault("_refs", []).append((self.mpc, tuple(self.bcs)))
+            return clf.assemble()
+        except (ValueError, AssertionError):
+            return assemble_matrix(self._a, self.mpc, self.bcs, dtype=dtype)
 
     @property
     def A(self):
