@@ -34,7 +34,7 @@ def log(*args):
 
 def main():
     n = int(os.environ.get("BENCH_N", "64"))
-    K = int(os.environ.get("BENCH_CHAIN", "5"))
+    K = int(os.environ.get("BENCH_CHAIN", "21"))
 
     import jax
 
@@ -114,7 +114,7 @@ def main():
             ts.append(time.time() - t0)
         return min(ts)
 
-    tK, t1 = best(cK), best(c1)
+    tK, t1 = best(cK, reps=6), best(c1, reps=6)
     t_asm = max((tK - t1) / (K - 1), 1e-9)
     mdof_s = V.num_dofs / t_asm / 1e6
     log(f"chain times: T1={t1*1e3:.1f}ms T{K}={tK*1e3:.1f}ms -> {t_asm*1e3:.2f} ms/assembly")

@@ -1,0 +1,5 @@
+"""Linear algebra: static-structure CSR, jitted Krylov solvers,
+preconditioners (Jacobi, Chebyshev, geometric multigrid)."""
+
+from .solvers import SolverOptions, bicgstab, cg, gmres, jacobi_preconditioner
+from .sparse import CSRMatrix, SlotPattern, build_slot_pattern

@@ -51,7 +51,7 @@ def _prolong1(c, axis):
 class LatticeGMG:
     """Symmetric V-cycle over a list of LatticeOperators (fine -> coarse)."""
 
-    def __init__(self, ops, n_pre=1, n_post=1, omega=0.8, coarse_iters=16, free_masks=None):
+    def __init__(self, ops, n_pre=2, n_post=2, omega=0.8, coarse_iters=30, free_masks=None):
         self.ops = ops
         self.n_pre, self.n_post = n_pre, n_post
         self.omega = omega

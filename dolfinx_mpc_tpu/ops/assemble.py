@@ -244,7 +244,9 @@ def _compile_matrix(form: Form, constraint, dtype) -> CompiledMatrixForm:
             )
             vals_out.append(Ae_ns.reshape(-1))
             vals_out.append(Aep.reshape(-1))
-        vals_out.append(jnp.full((slaves_row.shape[0],), diagval, dtype=vals_out[0].dtype if vals_out else jnp.asarray(diagval).dtype))
+        out_dtype = vals_out[0].dtype if vals_out else jnp.asarray(diagval).dtype
+        dv = jnp.real(diagval) if (jnp.iscomplexobj(diagval) and not jnp.issubdtype(out_dtype, jnp.complexfloating)) else diagval
+        vals_out.append(jnp.full((slaves_row.shape[0],), dv, dtype=out_dtype))
         vals_out.append(bc_diag_vals[: all_dofs.shape[0]])
         flat_vals = jnp.concatenate(vals_out) if vals_out else jnp.zeros(0)
         data = jax.ops.segment_sum(flat_vals, tabs["slots"], num_segments=nnz + 1)
