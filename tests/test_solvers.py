@@ -1,0 +1,68 @@
+"""Krylov solver + SolverOptions surface (the reference's petsc_options
+contract: ksp_type/pc_type/rtol routing, problem.py:300-322)."""
+
+import numpy as np
+import pytest
+
+import dolfinx_mpc_tpu as dmt
+from dolfinx_mpc_tpu.fem.forms import grad, inner
+from dolfinx_mpc_tpu.fem.mesh import create_unit_square
+from dolfinx_mpc_tpu.la.solvers import (
+    SolverOptions,
+    bicgstab,
+    cg,
+    chebyshev_preconditioner,
+    gmres,
+    jacobi_preconditioner,
+    solve,
+)
+
+
+def _system():
+    mesh = create_unit_square(8, 8)
+    V = dmt.functionspace(mesh, ("Lagrange", 1))
+    bdofs = dmt.locate_dofs_geometrical(V, lambda x: np.isclose(x[1], 0.0))
+    bc = dmt.dirichletbc(0.0, bdofs, V)
+    mpc = dmt.MultiPointConstraint(V)
+    mpc.create_periodic_constraint_geometrical(
+        V, lambda x: np.isclose(x[0], 1.0), lambda x: np.stack([1.0 - x[0], x[1]]), [bc]
+    )
+    mpc.finalize()
+    a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)) + inner(u, v))
+    A = dmt.assemble_matrix(a, mpc, bcs=[bc])
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(V.num_dofs)
+    import scipy.sparse.linalg as spla
+
+    x_ref = spla.spsolve(A.to_scipy().tocsc(), b)
+    return A, b, x_ref
+
+
+@pytest.mark.parametrize("ksp", ["cg", "bcgs", "gmres"])
+def test_ksp_types(ksp):
+    import jax.numpy as jnp
+
+    A, b, x_ref = _system()
+    opts = SolverOptions.from_petsc({"ksp_type": ksp, "ksp_rtol": 1e-12, "ksp_max_it": 5000})
+    x, its, rn = solve(A.matvec, jnp.asarray(b), opts, diag=A.diagonal())
+    assert np.abs(np.asarray(x) - x_ref).max() < 1e-7, ksp
+
+
+def test_chebyshev_preconditioner():
+    import jax.numpy as jnp
+
+    A, b, x_ref = _system()
+    M = chebyshev_preconditioner(A.matvec, A.diagonal(), degree=3)
+    x, its_c, _ = cg(A.matvec, jnp.asarray(b), M=M, rtol=1e-12, max_it=5000)
+    x0, its_0, _ = cg(A.matvec, jnp.asarray(b), M=None, rtol=1e-12, max_it=5000)
+    assert np.abs(np.asarray(x) - x_ref).max() < 1e-7
+    # each Chebyshev application does `degree` operator applies, so it must
+    # at least cut the OUTER iteration count vs unpreconditioned CG
+    assert int(its_c) < int(its_0), (int(its_c), int(its_0))
+
+
+def test_options_from_petsc_defaults():
+    o = SolverOptions.from_petsc(None)
+    assert o.ksp_type == "cg" and o.pc_type == "jacobi"
+    o2 = SolverOptions.from_petsc({"pc_type": "none", "ksp_rtol": "1e-4"})
+    assert o2.pc_type == "none" and o2.rtol == 1e-4
