@@ -133,7 +133,7 @@ def jacobi_preconditioner(diag):
     return lambda r: inv * r
 
 
-def chebyshev_preconditioner(A: Callable, diag, lmin_frac=0.06, lmax_safety=1.1, degree=3, n_power=12, probe=None):
+def chebyshev_preconditioner(A: Callable, diag, lmin_frac=0.06, lmax_safety=1.1, degree=3, n_power=20, probe=None):
     """Chebyshev-Jacobi: Chebyshev polynomial of degree `degree` on the
     Jacobi-preconditioned operator, with lambda_max from power iteration.
     The AMG-lite stand-in for BoomerAMG (see SURVEY.md §7 hard part (e))."""
@@ -142,7 +142,15 @@ def chebyshev_preconditioner(A: Callable, diag, lmin_frac=0.06, lmax_safety=1.1,
     def DA(x):
         return inv * A(x)
 
-    v = jnp.ones_like(diag) if probe is None else probe
+    if probe is None:
+        # randomized start: a constant vector is often (near-)orthogonal to
+        # the top eigenmode of D^-1 A (oscillatory), stalling power iteration
+        # at a gross lambda_max underestimate — which makes the Chebyshev
+        # polynomial blow up on the untargeted top modes
+        import jax.random
+
+        probe = jax.random.normal(jax.random.PRNGKey(0), diag.shape, dtype=jnp.result_type(diag, float))
+    v = probe
     for _ in range(n_power):
         v = DA(v)
         v = v / jnp.linalg.norm(v)
