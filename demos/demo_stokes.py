@@ -72,13 +72,21 @@ def main(nx=16, ny=8, theta=np.pi / 7):
     b0 = dmt.set_bc(b0, [bc_in])
     rhs = jnp.concatenate([b0, b.parts[1]])
 
-    # block-diagonal preconditioner: Jacobi on A00, pressure mass diagonal
+    # fieldsplit-style block-diagonal preconditioner (reference
+    # demo_stokes_nest fieldsplit): Chebyshev on the velocity Laplacian,
+    # pressure mass-matrix Jacobi
+    from dolfinx_mpc_tpu.la.solvers import chebyshev_preconditioner
+    from dolfinx_mpc_tpu.ops.nest import block_diag_preconditioner
+
     mass_q = dmt.assemble_matrix(
         dmt.BilinearForm(Q, lambda p, q, c: inner(p, q)), mpc_q
     ).diagonal()
-    dA = jnp.concatenate([A.blocks[0][0].diagonal(), mass_q])
-    inv = jnp.where(dA != 0, 1.0 / dA, 1.0)
-    x, its, rnorm = bicgstab(A.matvec, rhs, M=lambda r: inv * r, rtol=1e-10, max_it=4000)
+    Mv = chebyshev_preconditioner(
+        A.blocks[0][0].matvec, A.blocks[0][0].diagonal(), degree=5, lmin_frac=0.03
+    )
+    inv_q = jnp.where(mass_q != 0, 1.0 / mass_q, 1.0)
+    M = block_diag_preconditioner([Mv, lambda r: inv_q * r], [V.num_dofs, Q.num_dofs])
+    x, its, rnorm = bicgstab(A.matvec, rhs, M=M, rtol=1e-10, max_it=4000)
     u_arr = np.asarray(mpc.finalized.backsubstitution(x[: V.num_dofs]))
     p_arr = np.asarray(x[V.num_dofs :])
     print(f"V dofs={V.num_dofs} Q dofs={Q.num_dofs} slaves={mpc.num_local_slaves} "

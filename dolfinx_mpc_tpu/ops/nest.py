@@ -101,6 +101,21 @@ def assemble_matrix_nest(A: NestMatrix, a, constraints, bcs=None, diagval=1.0):
     return A
 
 
+def block_diag_preconditioner(parts, sizes):
+    """Block-diagonal preconditioner for nest systems: `parts` is one callable
+    per block applied to that block's residual slice (e.g. Chebyshev on the
+    velocity block + pressure-mass Jacobi for Stokes — the fieldsplit recipe
+    of reference demo_stokes_nest)."""
+    offsets = np.cumsum([0] + list(sizes))
+
+    def M(r):
+        return jnp.concatenate(
+            [parts[i](r[offsets[i] : offsets[i + 1]]) for i in range(len(parts))]
+        )
+
+    return M
+
+
 def create_vector_nest(L, constraints) -> NestVector:
     return NestVector([jnp.zeros(c.V.num_dofs, dtype=c.dtype) for c in constraints])
 
