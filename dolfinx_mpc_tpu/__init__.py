@@ -37,6 +37,12 @@ from .problem import LinearProblem, NonlinearProblem
 
 __version__ = "0.1.0"
 
+# subsystem modules re-exported for discoverability (io.XDMFFile/read_gmsh,
+# ops.lattice fast path, la.gmg multigrid, utils.timing Timer registry,
+# parallel SPMD paths) — import lazily to keep `import dolfinx_mpc_tpu` light
+from . import io  # noqa: E402  (XDMFFile, read_gmsh)
+from .utils.timing import Timer, list_timings  # noqa: E402
+
 __all__ = [
     "assemble_matrix",
     "create_matrix_nest",
