@@ -396,20 +396,25 @@ def assemble_matrix_lattice(
     diagval=1.0,
     dtype=np.float64,
     side_format="csr",
+    x_chunks=1,
 ):
     """Assemble a bilinear form on a lattice mesh into DIA + side block.
 
     side_format "csr" assembles the MPC side into static-slot CSR;
     "cells" keeps it as per-slave-cell eliminated blocks (faster to build,
-    identical operator action — requires the SoA kernel path).
+    identical operator action — requires the SoA kernel path); "fold"
+    collapses matching periodic constraints into the stencil.
+    x_chunks > 1 processes x-slabs sequentially inside one jit (bounds the
+    element-tensor working set for 10M-dof-scale meshes; fold mode only).
     Returns a `CompiledLatticeForm`; call `.assemble()` for the jitted path.
     """
-    return CompiledLatticeForm(form, constraint, bcs or [], diagval, dtype, side_format)
+    return CompiledLatticeForm(form, constraint, bcs or [], diagval, dtype, side_format, x_chunks)
 
 
 class CompiledLatticeForm:
-    def __init__(self, form, constraint, bcs, diagval, dtype, side_format="csr"):
+    def __init__(self, form, constraint, bcs, diagval, dtype, side_format="csr", x_chunks=1):
         self.side_format = side_format
+        self.x_chunks = int(x_chunks)
         mpc_r, mpc_c = _mpc_pair(constraint)
         assert mpc_r is mpc_c, "lattice path supports square forms with one MPC"
         V = form.test_space
@@ -548,7 +553,28 @@ class CompiledLatticeForm:
                     mpc_r, self.vshape, bs
                 )
                 self._fold_mask = jnp.asarray(fold_mask)
-            self._assemble = jax.jit(self._assemble_impl_soa)
+            if self.x_chunks > 1:
+                # chunked assembly (memory-bounded for 10M-dof scale): cells
+                # ordered i-major (i, t, j, k) so an x-slab is one contiguous
+                # dynamic_slice; requires fold mode (no side machinery)
+                assert self.side_format == "fold", "x_chunks needs side_format='fold'"
+                assert not ct.coeff_names, "x_chunks v1: coefficient-free forms"
+                nxl, nyl, nzl = lat.dims
+                nzc_l = 1 if mesh.tdim == 2 else nzl
+                assert nxl % self.x_chunks == 0, "x_chunks must divide nx"
+                permx = (
+                    np.arange(mesh.num_cells)
+                    .reshape(nxl, nyl, nzc_l, lat.cells_per_box)
+                    .transpose(0, 3, 1, 2)
+                    .reshape(-1)
+                )
+                self._coords_xc = jnp.asarray(
+                    mesh.points[mesh.cells[permx]].astype(_real_dtype(dtype)).transpose(1, 2, 0)
+                )
+                self._keep_xc = jnp.asarray((1.0 - bc_mask_np[V.dofmap[permx]]).T.copy())
+                self._assemble = jax.jit(self._assemble_impl_fold_chunked)
+            else:
+                self._assemble = jax.jit(self._assemble_impl_soa)
         else:
             assert self.side_format == "csr", "side_format='cells' needs the SoA path"
             self._assemble = jax.jit(self._assemble_impl)
@@ -716,11 +742,77 @@ class CompiledLatticeForm:
         )[:nnz]
         return LatticeOperator(dia, side, self._side_cols, self._side_rows, self.V.num_dofs)
 
+    # ------------------------------------------------------------------
+    def _assemble_impl_fold_chunked(self, coords_xc, keep_xc, diagval):
+        """Memory-bounded fold assembly: fori_loop over x-slabs; each slab's
+        element tensors live only for its iteration (the monolithic version
+        OOMs past ~8M cells when XLA materializes the fused J/G intermediates)."""
+        lat = self.lat
+        nx, ny, nz_ = lat.dims
+        n0, n1, n2 = self.vshape
+        bs = self.bs
+        T = lat.cells_per_box
+        nz_cells = 1 if self.mesh.tdim == 2 else nz_
+        NC = self.x_chunks
+        nxc = nx // NC
+        nv = self.mesh.cells.shape[1]
+        g = self.mesh.gdim
+        nd = self.V.ndofs_cell
+        csz = nxc * T * ny * nz_cells
+
+        grouped = {}
+        for t, a, b, oid, da in self.moves:
+            grouped.setdefault((oid, da), []).append((t, a, b))
+
+        def body(ic, data):
+            c0 = ic * csz
+            cs = jax.lax.dynamic_slice(coords_xc, (0, 0, c0), (nv, g, csz))
+            ks = jax.lax.dynamic_slice(keep_xc, (0, c0), (nd, csz))
+            Ae = self.kernel_soa(cs, {})
+            Ae = Ae * ks[:, None, :] * ks[None, :, :]
+            Ag = Ae.reshape(nd, nd, nxc, T, ny, nz_cells)
+            local = jnp.zeros((len(self.offsets), bs, bs, nxc + 1, n1, n2), Ae.dtype)
+            for (oid, (di, dj, dk)), tab in grouped.items():
+                for ci in range(bs):
+                    for cj in range(bs):
+                        blk = sum(Ag[a * bs + ci, b * bs + cj, :, t] for t, a, b in tab)
+                        local = local.at[
+                            oid, ci, cj, di : di + nxc, dj : dj + ny, dk : dk + nz_cells
+                        ].add(blk)
+            win = jax.lax.dynamic_slice(
+                data, (0, 0, 0, ic * nxc, 0, 0),
+                (len(self.offsets), bs, bs, nxc + 1, n1, n2),
+            )
+            return jax.lax.dynamic_update_slice(data, win + local, (0, 0, 0, ic * nxc, 0, 0))
+
+        data = jax.lax.fori_loop(
+            0, NC, body, jnp.zeros((len(self.offsets), bs, bs, n0, n1, n2),
+                                   _real_dtype(self.dtype) if np.dtype(self.dtype).kind != "c" else self.dtype)
+        )
+        zid = self.offsets.index((0, 0, 0))
+        diag_add = jnp.zeros(self.V.num_dofs, dtype=data.dtype)
+        if self._bc_dofs_grid.shape[0]:
+            diag_add = diag_add.at[self._bc_dofs_grid].add(diagval)
+        dg = diag_add.reshape(n0, n1, n2, bs)
+        for ci in range(bs):
+            data = data.at[zid, ci, ci].add(dg[:, :, :, ci])
+        dia = DIAMatrix(data, self.offsets, self.vshape, bs)
+        return LatticeOperator(
+            dia, jnp.zeros((0,), data.dtype), None, None, self.V.num_dofs,
+            diagval=diagval, fold_axis=self._fold_axis, fold_mask=self._fold_mask,
+        )
+
     def assemble(self) -> LatticeOperator:
         coeff_vecs = {
             n: jnp.asarray(self.term.coefficients[n].x.array) for n in self.coeff_names
         }
         if self.kernel_soa is not None:
+            if self.x_chunks > 1:
+                op = self._assemble(
+                    self._coords_xc, self._keep_xc, jnp.asarray(self.diagval, self.dtype)
+                )
+                op.fold_pairs = self._fold_pairs
+                return op
             op = self._assemble(
                 self.coords_soa, self._keep_soa, coeff_vecs, jnp.asarray(self.diagval, self.dtype)
             )

@@ -127,3 +127,28 @@ def test_lattice_fold_format():
     mpc2.finalize()
     with pytest.raises(ValueError):
         assemble_matrix_lattice(a, mpc2, bcs=[bc], side_format="fold")
+
+
+def test_lattice_fold_chunked():
+    """x-chunked fold assembly equals the monolithic fold assembly."""
+    import jax.numpy as jnp
+
+    mesh = create_unit_cube(8, 3, 3)
+    V = dmt.functionspace(mesh, ("Lagrange", 1))
+    bdofs = dmt.locate_dofs_geometrical(V, lambda x: np.isclose(x[1], 0.0))
+    bc = dmt.dirichletbc(0.0, bdofs, V)
+    mpc = dmt.MultiPointConstraint(V)
+    mpc.create_periodic_constraint_geometrical(
+        V, lambda x: np.isclose(x[0], 1.0),
+        lambda x: np.stack([1.0 - x[0], x[1], x[2]]), [bc],
+    )
+    mpc.finalize()
+    a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)), quad_degree=1)
+    A1 = assemble_matrix_lattice(a, mpc, bcs=[bc], side_format="fold").assemble()
+    A4 = assemble_matrix_lattice(a, mpc, bcs=[bc], side_format="fold", x_chunks=4).assemble()
+    err = np.abs(np.asarray(A1.dia.data) - np.asarray(A4.dia.data)).max()
+    assert err < 1e-13, err
+    x = np.random.default_rng(11).standard_normal(V.num_dofs)
+    y1 = np.asarray(A1.matvec(jnp.asarray(x)))
+    y4 = np.asarray(A4.matvec(jnp.asarray(x)))
+    assert np.abs(y1 - y4).max() < 1e-12
