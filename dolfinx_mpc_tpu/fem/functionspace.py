@@ -132,11 +132,18 @@ def _canonical_entity_dofs(mesh: Mesh, element: LagrangeElement):
     entity_store = {0: np.arange(mesh.num_points, dtype=np.int64)[:, None]}
 
     # physical coords of every local node in every cell (geometry is P1/Q1:
-    # node coords = affine/multilinear combination of vertex coords)
-    geo = lagrange_element(cell.name, 1)
-    phi_nodes = geo.tabulate(element.nodes)  # (nd, n_verts)
-    cellxyz = mesh.points[mesh.cells]  # (n_cells, n_verts, gdim)
-    node_phys = np.einsum("nv,cvg->cng", phi_nodes, cellxyz)  # (n_cells, nd, gdim)
+    # node coords = affine/multilinear combination of vertex coords) —
+    # computed lazily: P1 spaces have no edge/face/interior dofs and this is
+    # a 10s+ einsum at 10M-cell scale
+    _node_phys_cache = {}
+
+    def node_phys():
+        if "v" not in _node_phys_cache:
+            geo = lagrange_element(cell.name, 1)
+            phi_nodes = geo.tabulate(element.nodes)  # (nd, n_verts)
+            cellxyz = mesh.points[mesh.cells]  # (n_cells, n_verts, gdim)
+            _node_phys_cache["v"] = np.einsum("nv,cvg->cng", phi_nodes, cellxyz)
+        return _node_phys_cache["v"]
 
     for dim in range(1, tdim + 1):
         if dim == tdim:
@@ -148,7 +155,7 @@ def _canonical_entity_dofs(mesh: Mesh, element: LagrangeElement):
             ids = next_block + np.arange(n_cells * per, dtype=np.int64).reshape(n_cells, per)
             dofmap[:, slots] = ids
             next_block += n_cells * per
-            coords_chunks.append(node_phys[:, slots, :].reshape(-1, mesh.gdim))
+            coords_chunks.append(node_phys()[:, slots, :].reshape(-1, mesh.gdim))
             entity_store[tdim] = ids
             continue
         ent_local_dofs = element.entity_dofs(dim)
@@ -166,7 +173,7 @@ def _canonical_entity_dofs(mesh: Mesh, element: LagrangeElement):
         have = np.zeros(n_ent, dtype=bool)
         for le, slots in enumerate(ent_local_dofs):
             E = cell_to_ent[:, le]  # (n_cells,)
-            pts = node_phys[:, slots, :]  # (n_cells, per, gdim)
+            pts = node_phys()[:, slots, :]  # (n_cells, per, gdim)
             newmask = ~have[E]
             # first-touch cells define the canonical ordering
             first_idx = np.flatnonzero(newmask)
