@@ -11,11 +11,15 @@ assemblies inside ONE jitted program and difference two chain lengths —
 one jitted while_loop (single dispatch, long execution) timed directly.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline divides by an estimated 64-core C++/PETSc reference rate
-(REFERENCE_MDOF_S): the reference repo publishes no numbers (BASELINE.md) and
-dolfinx/PETSc cannot run in this image, so ~1 MDoF/s/core x 64 is assumed.
+vs_baseline divides by a MEASURED reference rate: csrc/ref_baseline.cpp
+reimplements the reference's per-cell constrained-assembly pipeline
+(verified matrix-identical to this package in tests/test_ref_baseline.py),
+is measured on this host, and the per-core MDoF/s is scaled by the 64 cores
+of the node named in BASELINE.md — i.e. the reference is granted IDEAL
+linear MPI scaling, which is generous to it.  If the C++ toolchain is
+unavailable the old 1.0 MDoF/s/core estimate is used and flagged on stderr.
 
-Env knobs: BENCH_N (default 64), BENCH_CHAIN (default 5).
+Env knobs: BENCH_N (default 64), BENCH_CHAIN (default 21).
 """
 
 import json
@@ -25,7 +29,30 @@ import time
 
 import numpy as np
 
-REFERENCE_MDOF_S = 64.0  # estimated 64-core C++/PETSc constrained assembly
+REFERENCE_CORES = 64  # node size named in BASELINE.md
+
+
+def reference_mdof_s(n: int) -> float:
+    """Measured per-core CPU reference rate x ideal 64-core scaling."""
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_cpu_baseline",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "benchmarks", "ref_cpu_baseline.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        res = mod.measure(n=n)
+        rate = res["mdof_s"] / res["threads"] * REFERENCE_CORES
+        log(f"reference baseline (measured): {res['mdof_s']:.2f} MDoF/s/core "
+            f"x {REFERENCE_CORES} ideal cores = {rate:.1f} MDoF/s")
+        return rate
+    except Exception as e:  # pragma: no cover - toolchain missing
+        log(f"WARNING: measured baseline unavailable ({e}); "
+            f"falling back to 1.0 MDoF/s/core estimate")
+        return 1.0 * REFERENCE_CORES
 
 
 def log(*args):
@@ -184,7 +211,7 @@ def main():
                 "metric": "constrained_assembly_p1_3d_periodic",
                 "value": round(mdof_s, 2),
                 "unit": "MDoF/s",
-                "vs_baseline": round(mdof_s / REFERENCE_MDOF_S, 3),
+                "vs_baseline": round(mdof_s / reference_mdof_s(n), 3),
             }
         )
     )
