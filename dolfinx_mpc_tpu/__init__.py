@@ -8,6 +8,13 @@ The public surface mirrors the reference package
 substrate that replaces DOLFINx.
 """
 
+# Install the huge-page numpy allocator BEFORE anything allocates large
+# arrays: this host faults 4KB pages at ~40s/GB; THP-backed allocations
+# fault at ~0.6s/GB (csrc/hugealloc.c).  No-op where unsupported.
+from .native import install_hugepage_allocator as _ihp
+
+_ihp()
+
 from .fem import cells, forms, mesh
 from .fem.forms import BilinearForm, Form, LinearForm, derivative
 from .fem.functionspace import (

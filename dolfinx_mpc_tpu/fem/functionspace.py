@@ -122,6 +122,19 @@ def _canonical_entity_dofs(mesh: Mesh, element: LagrangeElement):
     n_cells = mesh.num_cells
     nd = element.ndofs
 
+    # --- P1/Q1 fast path: one dof per vertex in local-vertex order means the
+    # dofmap IS the connectivity (zero-copy; the generic path below costs
+    # ~40s of strided copies at 60M cells)
+    vert_only = element.entity_dofs(0) == [[i] for i in range(cell.num_vertices)] and all(
+        len(s) == 0
+        for dim in range(1, tdim + 1)
+        for s in element.entity_dofs(dim)
+    )
+    if vert_only and nd == cell.num_vertices:
+        dofmap = mesh.cells.astype(np.int32, copy=False)
+        entity_store = {0: np.arange(mesh.num_points, dtype=np.int64)[:, None]}
+        return dofmap, mesh.num_points, mesh.points, entity_store
+
     dofmap = np.empty((n_cells, nd), dtype=np.int64)
     # --- vertices
     vert_local = element.entity_dofs(0)  # [[0],[1],...]

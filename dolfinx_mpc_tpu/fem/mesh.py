@@ -222,33 +222,35 @@ def create_box(p0, p1, n, cell_type: str = CellType.tetrahedron) -> Mesh:
     x = np.linspace(p0[0], p1[0], nx + 1)
     y = np.linspace(p0[1], p1[1], ny + 1)
     z = np.linspace(p0[2], p1[2], nz + 1)
-    X, Y, Z = np.meshgrid(x, y, z, indexing="ij")
-    pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+    npx, npy, npz = nx + 1, ny + 1, nz + 1
+    # points in (i, j, k) lex order via repeat/tile (contiguous writes; a
+    # meshgrid+stack costs ~6 full copies and tens of seconds at 10M nodes)
+    pts = np.empty((npx * npy * npz, 3), dtype=np.float64)
+    pts[:, 0] = np.repeat(x, npy * npz)
+    pts[:, 1] = np.tile(np.repeat(y, npz), npx)
+    pts[:, 2] = np.tile(z, npx * npy)
 
-    # vectorized cell construction: corner vertex ids for every box at once,
-    # cells ordered (i, j, k, t) as the lattice fast path expects
-    I, J, K = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
-
-    def vid(i, j, k):
-        return (i * (ny + 1) + j) * (nz + 1) + k
-
-    corners = np.stack(
-        [
-            vid(I + di, J + dj, K + dk)
-            for dk_major in [0]
-            for (di, dj, dk) in [
-                (0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
-                (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1),
-            ]
-        ],
-        axis=-1,
-    ).reshape(-1, 8)  # (n_boxes, 8)
+    # cells ordered (i, j, k, t) as the lattice fast path expects.  vid is
+    # affine in (i, j, k), so every cell row is base_vertex_id + a constant:
+    # ONE broadcast add builds the whole connectivity contiguously (strided
+    # per-column writes at 60M cells cost ~40s; this is ~1s)
+    base = (
+        np.repeat(np.arange(nx, dtype=np.int32), ny * nz) * np.int32(npy)
+        + np.tile(np.repeat(np.arange(ny, dtype=np.int32), nz), nx)
+    ) * np.int32(npz) + np.tile(np.arange(nz, dtype=np.int32), nx * ny)
+    corner_deltas = [
+        (0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
+        (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1),
+    ]
+    cv = np.array(
+        [(di * npy + dj) * npz + dk for (di, dj, dk) in corner_deltas], np.int32
+    )
     if cell_type == CellType.hexahedron:
-        cells_arr = corners
+        cells_arr = base[:, None] + cv[None, :]
     else:
-        tets = np.stack([corners[:, list(t)] for t in _KUHN_TETS], axis=1)  # (nb, 6, 4)
-        cells_arr = tets.reshape(-1, 4)
-    m = Mesh(pts, cells_arr.astype(np.int32), cell_type)
+        consts = cv[np.asarray(_KUHN_TETS, np.int32).ravel()]  # (24,)
+        cells_arr = (base[:, None] + consts[None, :]).reshape(-1, 4)
+    m = Mesh(pts, cells_arr, cell_type)
     # cells are ordered (i, j, k, t): mark for the lattice fast path
     from ..ops.lattice import attach_lattice_info
 

@@ -70,6 +70,50 @@ def _get():
     return _lib or None
 
 
+_hugealloc_installed = False
+
+
+def install_hugepage_allocator() -> bool:
+    """Build + install the huge-page numpy allocation handler
+    (csrc/hugealloc.c).  On hosts with slow 4KB demand paging (this image:
+    ~40s/GB first touch) this makes every numpy allocation >= 4MB THP-backed
+    (~0.6s/GB).  Idempotent; returns True if the handler is active.
+    Disable with DMT_NO_HUGEPAGE_ALLOC=1."""
+    global _hugealloc_installed
+    if _hugealloc_installed:
+        return True
+    if os.environ.get("DMT_NO_HUGEPAGE_ALLOC") == "1" or sys.platform != "linux":
+        return False
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "..", "..", "csrc", "hugealloc.c")
+    so = os.path.join(here, "_hugealloc.so")
+    if not os.path.exists(src):
+        return False
+    try:
+        if (not os.path.exists(so)) or os.path.getmtime(so) < os.path.getmtime(src):
+            import sysconfig
+
+            cmd = [
+                "gcc", "-O2", "-shared", "-fPIC", src,
+                "-I", sysconfig.get_paths()["include"],
+                "-I", np.get_include(),
+                "-o", so,
+            ]
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("_hugealloc", so)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.install()
+        _hugealloc_installed = True
+        return True
+    except Exception as e:  # no toolchain / unsupported kernel -> no-op
+        print(f"[dolfinx_mpc_tpu.native] hugepage allocator unavailable ({e})",
+              file=sys.stderr)
+        return False
+
+
 def available() -> bool:
     return _get() is not None
 

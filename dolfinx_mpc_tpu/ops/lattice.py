@@ -389,6 +389,35 @@ def _detect_lattice_wrap(mpc, vshape, bs):
     raise ValueError("constraint is not an axis-plane wrap")
 
 
+def _uniform_lattice_geometry(mesh, lat: LatticeInfo):
+    """(origin, spacing) if mesh.points is exactly the uniform box grid the
+    generator produced (nothing rotated/deformed it afterwards), else None.
+    Uniform geometry lets assembly synthesize cell coordinates on device from
+    iota — no host gather, no O(cells) h2d transfer."""
+    nx, ny, nz_ = lat.dims
+    gdim = mesh.gdim
+    dims = (nx, ny, nz_)[:gdim]
+    shape = tuple(d + 1 for d in dims)
+    pts = mesh.points
+    if pts.shape[0] != int(np.prod(shape)):
+        return None
+    origin = pts[0].copy()
+    corner = pts[-1]
+    spacing = (corner - origin) / np.asarray(dims, pts.dtype)
+    if not np.all(np.isfinite(spacing)) or np.any(spacing == 0):
+        return None
+    scale = np.abs(spacing).max()
+    tol = 1e-12 * max(scale, 1.0, np.abs(origin).max() + np.abs(corner).max())
+    pts3 = pts.reshape(*shape, gdim)  # view (points are lex-ordered, C-contig)
+    for d in range(gdim):
+        axis_vals = origin[d] + spacing[d] * np.arange(shape[d])
+        bshape = [1] * gdim
+        bshape[d] = shape[d]
+        if np.abs(pts3[..., d] - axis_vals.reshape(bshape)).max() > tol:
+            return None
+    return origin, spacing
+
+
 def assemble_matrix_lattice(
     form: Form,
     constraint: Optional[MultiPointConstraint] = None,
@@ -438,15 +467,66 @@ class CompiledLatticeForm:
         self.kernel = ct.kernel
         self.coeff_names = ct.coeff_names
         self.term = form.terms[0]
+        # cells-last SoA kernel (soa_kernels.py) — the fast path on TPU
+        from .soa_kernels import compile_cell_kernel_soa
+
+        self.kernel_soa = compile_cell_kernel_soa(mesh, V, V, form.terms[0], self.dtype)
+
+        # vertex deltas and diagonal offsets
+        deltas = _vertex_delta_table(mesh, lat)  # (T, nv, 3)
+        T, nv, _ = deltas.shape
+        offs = {}
+        self.moves = []  # (t, a, b, off_id, da)
+        for t in range(T):
+            for a in range(nv):
+                for b in range(nv):
+                    off = tuple(deltas[t, b] - deltas[t, a])
+                    oid = offs.setdefault(off, len(offs))
+                    self.moves.append((t, a, b, oid, tuple(deltas[t, a])))
+        self.offsets = tuple(offs.keys())
+        self._deltas = deltas
+
+        # bc data
+        bc_mask_np = _bc_masks(V, bcs, self.dtype)
+        self._bc_mask = jnp.asarray(bc_mask_np)
+        bc_dofs = np.unique(np.concatenate([bc.dofs for bc in bcs])) if bcs else np.zeros(0, np.int64)
+        self._bc_dofs_grid = jnp.asarray(bc_dofs.astype(np.int32))
+        self.mpc = mpc_r
+
+        # ---- lean fold path: periodic identification collapses into the
+        # stencil AND the geometry is a pristine uniform grid, so assembly
+        # needs NO per-cell host arrays at all — coordinates are synthesized
+        # on device from iota, bc zeroing happens on the assembled DIA grid.
+        # This is what makes 10M-dof setup O(surface) instead of O(cells). --
+        self._lean = False
+        if self.kernel_soa is not None and self.side_format == "fold":
+            self._fold_axis, fold_mask, self._fold_pairs = _detect_lattice_wrap(
+                mpc_r, self.vshape, bs
+            )
+            self._fold_mask = jnp.asarray(fold_mask)
+            geo = None if ct.coeff_names else _uniform_lattice_geometry(mesh, lat)
+            if geo is not None:
+                self._lean = True
+                self._origin, self._spacing = geo
+                n0, n1, n2 = self.vshape
+                keep = (1.0 - bc_mask_np).reshape(n0, n1, n2, bs)
+                self._keep_grid = jnp.asarray(
+                    np.moveaxis(keep, -1, 0).copy().astype(_real_dtype(self.dtype))
+                )
+                self.pattern = None
+                if self.x_chunks > 1:
+                    nxl = lat.dims[0]
+                    assert nxl % self.x_chunks == 0, "x_chunks must divide nx"
+                    self._assemble = jax.jit(self._assemble_fold_lean_chunked)
+                else:
+                    self._assemble = jax.jit(self._assemble_fold_lean)
+                return
+
         self._wdofmaps = {
             n: jnp.asarray(W.dofmap, jnp.int32) for n, W in zip(ct.coeff_names, ct.coeff_spaces)
         }
         self.coords = jnp.asarray(mesh.points[mesh.cells].astype(_real_dtype(dtype)))
         self.lf = jnp.zeros(mesh.num_cells, jnp.int32)
-        # cells-last SoA kernel (soa_kernels.py) — the fast path on TPU
-        from .soa_kernels import compile_cell_kernel_soa
-
-        self.kernel_soa = compile_cell_kernel_soa(mesh, V, V, form.terms[0], self.dtype)
         if self.kernel_soa is not None:
             # reorder cells t-major (t, i, j, k): grid slices of Ae become
             # contiguous (stride-1 lanes) instead of stride-T on the cell axis
@@ -463,19 +543,6 @@ class CompiledLatticeForm:
             self.coords_soa = jnp.asarray(
                 mesh.points[mesh.cells[perm]].astype(_real_dtype(dtype)).transpose(1, 2, 0)
             )
-
-        # vertex deltas and diagonal offsets
-        deltas = _vertex_delta_table(mesh, lat)  # (T, nv, 3)
-        T, nv, _ = deltas.shape
-        offs = {}
-        self.moves = []  # (t, a, b, off_id, da)
-        for t in range(T):
-            for a in range(nv):
-                for b in range(nv):
-                    off = tuple(deltas[t, b] - deltas[t, a])
-                    oid = offs.setdefault(off, len(offs))
-                    self.moves.append((t, a, b, oid, tuple(deltas[t, a])))
-        self.offsets = tuple(offs.keys())
 
         # ---- MPC + BC side matrix over slave cells ----------------------
         tr = _build_cell_transforms(V, mpc_r, self.dtype)
@@ -513,13 +580,6 @@ class CompiledLatticeForm:
         self._dm_sc = jnp.asarray(V.dofmap[sc].astype(np.int32)) if len(sc) else jnp.zeros((0, V.ndofs_cell), jnp.int32)
         self._sc_dev = jnp.asarray(sc.astype(np.int32))
 
-        # bc data
-        bc_mask_np = _bc_masks(V, bcs, self.dtype)
-        self._bc_mask = jnp.asarray(bc_mask_np)
-        bc_dofs = np.unique(np.concatenate([bc.dofs for bc in bcs])) if bcs else np.zeros(0, np.int64)
-        self._bc_dofs_grid = jnp.asarray(bc_dofs.astype(np.int32))
-        self.mpc = mpc_r
-
         if self.kernel_soa is not None:
             perm = self._soa_perm
             inv_perm = np.empty_like(perm)
@@ -548,11 +608,7 @@ class CompiledLatticeForm:
                     if (mpc_r is not None and mpc_r.num_local_slaves)
                     else jnp.zeros((0,), jnp.int32)
                 )
-            elif self.side_format == "fold":
-                self._fold_axis, fold_mask, self._fold_pairs = _detect_lattice_wrap(
-                    mpc_r, self.vshape, bs
-                )
-                self._fold_mask = jnp.asarray(fold_mask)
+            # (fold_axis/fold_mask already detected in the lean branch above)
             if self.x_chunks > 1:
                 # chunked assembly (memory-bounded for 10M-dof scale): cells
                 # ordered i-major (i, t, j, k) so an x-slab is one contiguous
@@ -802,7 +858,195 @@ class CompiledLatticeForm:
             diagval=diagval, fold_axis=self._fold_axis, fold_mask=self._fold_mask,
         )
 
+    # ------------------------------------------------------------------
+    # lean fold path: device-synthesized coords, grid-level bc zeroing
+    # ------------------------------------------------------------------
+    def _synth_coords(self, jitter, order, ic=0):
+        """Cell-corner coordinates synthesized on device from iota for a
+        pristine uniform lattice (no host gather, no O(cells) transfer).
+        order "tmajor": all cells ordered (t, i, j, k); order "islab": slab
+        `ic` of x_chunks with cells ordered (i_local, t, j, k).  `jitter`
+        scales the geometry (used by bench.py to defeat dispatch caching
+        while keeping real per-cell geometry work in the kernel)."""
+        lat = self.lat
+        nx, ny, nz_ = lat.dims
+        nzc = 1 if self.mesh.tdim == 2 else nz_
+        T = lat.cells_per_box
+        nv = self._deltas.shape[1]
+        g = self.mesh.gdim
+        dt = _real_dtype(self.dtype)
+        if order == "tmajor":
+            shape = (T, nx, ny, nzc)
+            t_ax, axes = 0, (1, 2, 3)
+            i0 = 0
+        else:
+            nxc = nx // self.x_chunks
+            shape = (nxc, T, ny, nzc)
+            t_ax, axes = 1, (0, 2, 3)
+            i0 = ic * (nx // self.x_chunks)
+        base = [jax.lax.broadcasted_iota(jnp.int32, shape, ax) for ax in axes]
+        base[0] = base[0] + i0
+        dshape = [1, 1, 1, 1]
+        dshape[t_ax] = T
+        scale = 1.0 + jitter
+        comps = []
+        for d in range(g):
+            deltas_d = self._deltas[:, :, d].T.reshape(nv, *dshape)  # (nv,1,T,1,1)
+            pos = base[d][None].astype(dt) + jnp.asarray(deltas_d.astype(np.float64), dt)
+            x_d = scale * (self._origin[d] + self._spacing[d] * pos)
+            comps.append(x_d.reshape(nv, -1))
+        return jnp.stack(comps, axis=1)  # (nv, g, n_cells_or_slab)
+
+    def _zero_bc_on_grid(self, data):
+        """Zero bc rows/cols directly on the DIA data: entry (r, r+off) dies
+        iff r or r+off is a bc dof — identical to element-level masking but
+        O(n_off * grid) instead of O(nd^2 * cells)."""
+        if self._bc_dofs_grid.shape[0] == 0:
+            return data
+        kb = self._keep_grid.astype(data.dtype)  # (bs, n0, n1, n2)
+        n0, n1, n2 = self.vshape
+        shifted = []
+        for (di, dj, dk) in self.offsets:
+            src = (
+                slice(None),
+                slice(max(di, 0), n0 + min(di, 0)),
+                slice(max(dj, 0), n1 + min(dj, 0)),
+                slice(max(dk, 0), n2 + min(dk, 0)),
+            )
+            pad = (
+                (0, 0),
+                (max(-di, 0), max(di, 0)),
+                (max(-dj, 0), max(dj, 0)),
+                (max(-dk, 0), max(dk, 0)),
+            )
+            shifted.append(jnp.pad(kb[src], pad))
+        kcols = jnp.stack(shifted)  # (n_off, bs, n0, n1, n2)
+        return data * kb[None, :, None] * kcols[:, None]
+
+    def _diag_adds(self, data, diagval):
+        """Add diagval on Dirichlet diagonals (surface-sized scatter)."""
+        n0, n1, n2 = self.vshape
+        zid = self.offsets.index((0, 0, 0))
+        diag_add = jnp.zeros(self.V.num_dofs, dtype=data.dtype)
+        if self._bc_dofs_grid.shape[0]:
+            diag_add = diag_add.at[self._bc_dofs_grid].add(diagval)
+        dg = diag_add.reshape(n0, n1, n2, self.bs)
+        for ci in range(self.bs):
+            data = data.at[zid, ci, ci].add(dg[:, :, :, ci])
+        return data
+
+    def _assemble_fold_lean(self, jitter, diagval):
+        lat = self.lat
+        nx, ny, nz_ = lat.dims
+        n0, n1, n2 = self.vshape
+        bs = self.bs
+        T = lat.cells_per_box
+        nzc = 1 if self.mesh.tdim == 2 else nz_
+
+        Ae = self.kernel_soa(self._synth_coords(jitter, "tmajor"), {})
+        nd = Ae.shape[0]
+        Ae_grid = Ae.reshape(nd, nd, T, nx, ny, nzc)
+        grouped = {}
+        for t, a, b, oid, da in self.moves:
+            grouped.setdefault((oid, da), []).append((t, a, b))
+        data_parts = [
+            [[None for _ in range(bs)] for _ in range(bs)] for _ in self.offsets
+        ]
+        for (oid, (di, dj, dk)), tab in grouped.items():
+            pad = ((di, n0 - di - nx), (dj, n1 - dj - ny), (dk, n2 - dk - nzc))
+            for ci in range(bs):
+                for cj in range(bs):
+                    blk = sum(Ae_grid[a * bs + ci, b * bs + cj, t] for t, a, b in tab)
+                    padded = jnp.pad(blk, pad)
+                    cur = data_parts[oid][ci][cj]
+                    data_parts[oid][ci][cj] = padded if cur is None else cur + padded
+        zerog = jnp.zeros((n0, n1, n2), Ae.dtype)
+        data = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        jnp.stack(
+                            [
+                                data_parts[oid][ci][cj]
+                                if data_parts[oid][ci][cj] is not None
+                                else zerog
+                                for cj in range(bs)
+                            ]
+                        )
+                        for ci in range(bs)
+                    ]
+                )
+                for oid in range(len(self.offsets))
+            ]
+        )
+        data = self._zero_bc_on_grid(data)
+        data = self._diag_adds(data, diagval)
+        dia = DIAMatrix(data, self.offsets, self.vshape, bs)
+        return LatticeOperator(
+            dia, jnp.zeros((0,), Ae.dtype), None, None, self.V.num_dofs,
+            diagval=diagval, fold_axis=self._fold_axis, fold_mask=self._fold_mask,
+        )
+
+    def _assemble_fold_lean_chunked(self, jitter, diagval):
+        """Memory-bounded lean assembly: fori_loop over x-slabs with
+        device-synthesized slab coordinates (10M-dof scale: nothing of
+        O(cells) ever exists on host OR in a single device buffer)."""
+        lat = self.lat
+        nx, ny, nz_ = lat.dims
+        n0, n1, n2 = self.vshape
+        bs = self.bs
+        T = lat.cells_per_box
+        nzc = 1 if self.mesh.tdim == 2 else nz_
+        NC = self.x_chunks
+        nxc = nx // NC
+        nd = self.V.ndofs_cell
+
+        grouped = {}
+        for t, a, b, oid, da in self.moves:
+            grouped.setdefault((oid, da), []).append((t, a, b))
+
+        rdt = _real_dtype(self.dtype)
+        out_dt = self.dtype if np.dtype(self.dtype).kind == "c" else rdt
+
+        def body(ic, data):
+            cs = self._synth_coords(jitter, "islab", ic)
+            Ae = self.kernel_soa(cs, {})
+            Ag = Ae.reshape(nd, nd, nxc, T, ny, nzc)
+            local = jnp.zeros((len(self.offsets), bs, bs, nxc + 1, n1, n2), Ae.dtype)
+            for (oid, (di, dj, dk)), tab in grouped.items():
+                for ci in range(bs):
+                    for cj in range(bs):
+                        blk = sum(Ag[a * bs + ci, b * bs + cj, :, t] for t, a, b in tab)
+                        local = local.at[
+                            oid, ci, cj, di : di + nxc, dj : dj + ny, dk : dk + nzc
+                        ].add(blk)
+            win = jax.lax.dynamic_slice(
+                data, (0, 0, 0, ic * nxc, 0, 0),
+                (len(self.offsets), bs, bs, nxc + 1, n1, n2),
+            )
+            return jax.lax.dynamic_update_slice(
+                data, win + local, (0, 0, 0, ic * nxc, 0, 0)
+            )
+
+        data = jax.lax.fori_loop(
+            0, NC, body, jnp.zeros((len(self.offsets), bs, bs, n0, n1, n2), out_dt)
+        )
+        data = self._zero_bc_on_grid(data)
+        data = self._diag_adds(data, diagval)
+        dia = DIAMatrix(data, self.offsets, self.vshape, bs)
+        return LatticeOperator(
+            dia, jnp.zeros((0,), data.dtype), None, None, self.V.num_dofs,
+            diagval=diagval, fold_axis=self._fold_axis, fold_mask=self._fold_mask,
+        )
+
     def assemble(self) -> LatticeOperator:
+        if self._lean:
+            op = self._assemble(
+                jnp.asarray(0.0, _real_dtype(self.dtype)),
+                jnp.asarray(self.diagval, self.dtype),
+            )
+            op.fold_pairs = self._fold_pairs
+            return op
         coeff_vecs = {
             n: jnp.asarray(self.term.coefficients[n].x.array) for n in self.coeff_names
         }
