@@ -19,7 +19,9 @@ of the node named in BASELINE.md — i.e. the reference is granted IDEAL
 linear MPI scaling, which is generous to it.  If the C++ toolchain is
 unavailable the old 1.0 MDoF/s/core estimate is used and flagged on stderr.
 
-Env knobs: BENCH_N (default 64), BENCH_CHAIN (default 21).
+Env knobs: BENCH_N (default 64), BENCH_CHAIN (default 21),
+BENCH_XCHUNKS (default 1; >1 bounds the assembly working set by processing
+x-slabs inside one fori_loop — needed beyond ~n=96 on a 16 GB chip).
 """
 
 import json
@@ -62,6 +64,7 @@ def log(*args):
 def main():
     n = int(os.environ.get("BENCH_N", "64"))
     K = int(os.environ.get("BENCH_CHAIN", "21"))
+    xchunks = int(os.environ.get("BENCH_XCHUNKS", "1"))
 
     import jax
 
@@ -97,35 +100,55 @@ def main():
     # "cells" (unassembled per-cell interface blocks).  Both verified
     # operator-identical to the assembled CSR side in tests/test_lattice.py.
     try:
-        clf = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32, side_format="fold")
-        log("side format: fold")
+        clf = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32,
+                                      side_format="fold", x_chunks=xchunks)
+        log("side format: fold" + (" (lean)" if clf._lean else ""))
     except ValueError:
         clf = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32, side_format="cells")
         log("side format: cells")
+    nnz_msg = ("lean (no side pattern)" if clf.pattern is None
+               else f"side nnz {clf.pattern.nnz}")
     log(
         f"setup {time.time()-t0:.1f}s: {mesh.num_cells} tets, {V.num_dofs} dofs, "
-        f"{mpc.num_local_slaves} slaves, side nnz {clf.pattern.nnz}"
+        f"{mpc.num_local_slaves} slaves, {nnz_msg}"
     )
 
     f = clf._assemble
-    keep, dv = clf._keep_soa, jnp.asarray(1.0, jnp.float32)
-    coords = clf.coords_soa
+    dv = jnp.asarray(1.0, jnp.float32)
+    if clf._lean:
+        # lean fold: assembly is f(jitter, diagval) — coords synthesized on
+        # device; vary the jitter per chain step to defeat CSE/caching while
+        # keeping real per-cell geometry work in the kernel
+        def make_chain(k):
+            @jax.jit
+            def chain(j0):
+                def body(i, acc):
+                    r = f(j0 + 1e-7 * i.astype(jnp.float32), dv)
+                    return acc + r.dia.data.ravel()[0]
+                return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
+            return chain
 
-    def make_chain(k):
-        # fori_loop keeps ONE assembly in the compiled program regardless of
-        # chain length (a python-unrolled chain multiplies compile time by k)
-        @jax.jit
-        def chain(c):
-            def body(i, acc):
-                r = f(c * (1.0 + 1e-7 * i.astype(jnp.float32)), keep, {}, dv)
-                acc = acc + r.dia.data.ravel()[0]
-                if r.side_Aep is not None and r.side_Aep.shape[0]:
-                    acc = acc + r.side_Aep.ravel()[0]
-                elif r.side_data is not None and r.side_data.shape[0]:
-                    acc = acc + r.side_data[0]
-                return acc
-            return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
-        return chain
+        coords = jnp.zeros((), jnp.float32)
+    else:
+        keep = clf._keep_soa
+        coords = clf.coords_soa
+
+        def make_chain(k):
+            # fori_loop keeps ONE assembly in the compiled program regardless
+            # of chain length (a python-unrolled chain multiplies compile
+            # time by k)
+            @jax.jit
+            def chain(c):
+                def body(i, acc):
+                    r = f(c * (1.0 + 1e-7 * i.astype(jnp.float32)), keep, {}, dv)
+                    acc = acc + r.dia.data.ravel()[0]
+                    if r.side_Aep is not None and r.side_Aep.shape[0]:
+                        acc = acc + r.side_Aep.ravel()[0]
+                    elif r.side_data is not None and r.side_data.shape[0]:
+                        acc = acc + r.side_data[0]
+                    return acc
+                return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
+            return chain
 
     c1, cK = make_chain(1), make_chain(K)
     t0 = time.time()
@@ -150,9 +173,21 @@ def main():
     # full solve: geometric-multigrid-preconditioned CG (the BoomerAMG
     # analogue), falling back to Jacobi if the hierarchy can't be built
     A = clf.assemble()
-    L = dmt.LinearForm(V, lambda v, c: 4.0 * v.value)
-    b = jnp.asarray(np.asarray(dmt.assemble_vector(L, mpc, dtype=np.float32)))
-    b = jnp.asarray(np.asarray(dmt.set_bc(b, [bc])))
+    if clf._lean and n > 96:
+        # the general RHS assembler keeps O(cells) tables — at 10M-dof scale
+        # use a manufactured RHS b = A u0 instead (identical per-iteration
+        # SpMV work; the headline metric is assembly throughput anyway)
+        n0, n1, n2 = clf.vshape
+        ii = jnp.arange(n0, dtype=jnp.float32)[:, None, None] / n0
+        jj = jnp.arange(n1, dtype=jnp.float32)[None, :, None] / n1
+        kk = jnp.arange(n2, dtype=jnp.float32)[None, None, :] / n2
+        u0 = (jnp.sin(np.pi * ii) * jnp.sin(np.pi * jj) * jnp.sin(2 * np.pi * kk)
+              * clf._keep_grid[0]).reshape(-1)
+        b = jax.jit(A.matvec)(u0)
+    else:
+        L = dmt.LinearForm(V, lambda v, c: 4.0 * v.value)
+        b = jnp.asarray(np.asarray(dmt.assemble_vector(L, mpc, dtype=np.float32)))
+        b = jnp.asarray(np.asarray(dmt.set_bc(b, [bc])))
     from dolfinx_mpc_tpu.la.solvers import cg, jacobi_preconditioner
 
     M = None
@@ -160,6 +195,8 @@ def main():
         from dolfinx_mpc_tpu.la.gmg import LatticeGMG, build_gmg_hierarchy
 
         def make_level(m):
+            if m == n:
+                return clf  # reuse the finest-level compiled form (and its chunking)
             mesh_l = create_unit_cube(m, m, m)
             V_l = dmt.functionspace(mesh_l, ("Lagrange", 1))
             bdofs_l = dmt.locate_dofs_geometrical(

@@ -51,6 +51,10 @@ class FunctionSpace:
     # sub-space bookkeeping: if this is V.sub(i), parent is set
     parent: Optional["FunctionSpace"] = None
     component: Optional[int] = None
+    # grid-lex numbering metadata for lattice meshes (degree-2 fast path):
+    # {"r": refine factor, "gshape": refined dof-grid shape} — dof block of
+    # the node at refined-grid coords (i, j, k) is (i*G1 + j)*G2 + k.
+    grid_meta: Optional[dict] = None
     _dofmap_unrolled: Optional[np.ndarray] = field(default=None, repr=False)
 
     @property
@@ -92,6 +96,7 @@ class FunctionSpace:
             self.entity_dofs_store,
             parent=self,
             component=i,
+            grid_meta=self.grid_meta,
         )
 
     def collapse(self):
@@ -208,6 +213,124 @@ def _canonical_entity_dofs(mesh: Mesh, element: LagrangeElement):
     return dofmap.astype(np.int32), next_block, dof_coords, entity_store
 
 
+def _lattice_grid_dofs(mesh: Mesh, element: LagrangeElement):
+    """Grid-lex dof numbering for degree-2 Lagrange on pristine box lattices.
+
+    On a Kuhn-tet lattice the P2 dofs biject with the (2n+1)^3 refined grid:
+    (n+1)^3 vertices + 3n(n+1)^2 axis edges + 3n^2(n+1) face diagonals + n^3
+    body diagonals = (2n+1)^3 (same identity in 2D and for Q2 on quads/hexes
+    counting face/volume interior nodes).  Numbering dof blocks lex on that
+    grid is what lets the DIA stencil fast path (ops/lattice.py) cover the
+    reference's canonical --degree 2 benchmark
+    (/root/reference/python/benchmarks/Makefile:1-9).  Returns
+    (dofmap, num_blocks, dof_coords, entity_store, grid_meta) or None.
+    """
+    from ..ops.lattice import (
+        _uniform_lattice_geometry,
+        _vertex_delta_table,
+        get_lattice_info,
+    )
+
+    lat = get_lattice_info(mesh)
+    r = element.degree
+    if lat is None or r != 2:
+        return None
+    geo = _uniform_lattice_geometry(mesh, lat)
+    if geo is None:
+        return None
+    origin, spacing = geo
+    tdim = mesh.tdim
+    nx, ny, nz = lat.dims
+    nzc = 1 if tdim == 2 else nz
+    G = (r * nx + 1, r * ny + 1, 1 if tdim == 2 else r * nz + 1)
+
+    # per-(subcell, node) integer deltas on the refined grid: node position
+    # in lattice units = sum_v phi_v(node_ref) * vertex_delta (geometry is
+    # P1/Q1), scaled by r
+    vdeltas = _vertex_delta_table(mesh, lat).astype(np.float64)  # (T, nv, 3)
+    geo_el = lagrange_element(mesh.cell_type, 1)
+    phi = geo_el.tabulate(element.nodes)  # (nd, nv)
+    dd = r * np.einsum("nv,tvd->tnd", phi, vdeltas)
+    ddi = np.rint(dd).astype(np.int32)
+    if np.abs(dd - ddi).max() > 1e-9:
+        return None  # nodes off the refined lattice (non-equispaced variant)
+
+    nd = element.ndofs
+    T = lat.cells_per_box
+    nb = G[0] * G[1] * G[2]
+    # cells are ordered (i, j, k, t); per-axis index parts then one
+    # broadcast-add (all int32: nb < 2^31 up to ~2G dofs)
+    s12, s2 = np.int32(G[1] * G[2]), np.int32(G[2])
+    bi = (np.arange(nx, dtype=np.int32) * r)[:, None, None]
+    bj = (np.arange(ny, dtype=np.int32) * r)[:, None, None]
+    bk = (np.arange(nzc, dtype=np.int32) * (0 if tdim == 2 else r))[:, None, None]
+    px = (bi + ddi[None, :, :, 0]) * s12  # (nx, T, nd)
+    py = (bj + ddi[None, :, :, 1]) * s2  # (ny, T, nd)
+    pz = bk + ddi[None, :, :, 2]  # (nzc, T, nd)
+    dofmap = (
+        px[:, None, None] + py[None, :, None] + pz[None, None, :]
+    ).reshape(-1, nd)
+
+    # dof coordinates = the refined grid itself
+    gdim = mesh.gdim
+    coords = np.empty((G[0], G[1], G[2], gdim))
+    axes = [origin[d] + (spacing[d] / r) * np.arange(G[d]) for d in range(gdim)]
+    coords[..., 0] = axes[0][:, None, None]
+    coords[..., 1] = axes[1][None, :, None]
+    if gdim == 3:
+        coords[..., 2] = axes[2][None, None, :]
+    coords = coords.reshape(nb, gdim)
+
+    # vertex -> block map (store[0]); higher-dim interior dofs are built
+    # lazily by _ensure_entity_store (degree 2: one node per entity centroid)
+    vi = (np.arange(nx + 1, dtype=np.int64) * r)[:, None, None] * int(s12)
+    vj = (np.arange(ny + 1, dtype=np.int64) * r)[None, :, None] * int(s2)
+    vk = (np.arange(1 if tdim == 2 else nz + 1, dtype=np.int64) * (0 if tdim == 2 else r))[None, None, :]
+    store0 = (vi + vj + vk).reshape(-1, 1)
+    meta = {"r": r, "gshape": G}
+    return dofmap, nb, coords, {0: store0}, meta
+
+
+def _ensure_entity_store(V: FunctionSpace, dim: int):
+    """Lazily populate entity_dofs_store[dim] for grid-numbered spaces:
+    degree 2 has exactly one interior node per entity, at its centroid."""
+    store = V.entity_dofs_store
+    if dim in store or V.grid_meta is None or dim == 0:
+        return
+    ent_dofs = V.element.entity_dofs(dim)
+    per = len(ent_dofs[0]) if ent_dofs else 0
+    if per == 0:
+        store[dim] = np.zeros((0, 0), dtype=np.int64)
+        return
+    assert per == 1, "grid numbering only supports degree <= 2"
+    mesh = V.mesh
+    r = V.grid_meta["r"]
+    G = V.grid_meta["gshape"]
+    if dim == mesh.tdim:
+        vids = mesh.cells
+    else:
+        vids, _, _ = mesh.entities(dim)
+    # vertex integer lattice coords from lex vertex ids
+    from ..ops.lattice import get_lattice_info
+
+    lat = get_lattice_info(mesh)
+    nx, ny, nz = lat.dims
+    n1v = ny + 1
+    n2v = max(nz + 1, 1)
+    v = vids.astype(np.int64)
+    k = v % n2v
+    j = (v // n2v) % n1v
+    i = v // (n2v * n1v)
+    nv_e = vids.shape[1]
+    cen = []
+    for comp in (i, j, k):
+        s = r * comp.sum(axis=1)
+        assert (s % nv_e == 0).all(), "entity centroid off the refined grid"
+        cen.append(s // nv_e)
+    idx = (cen[0] * G[1] + cen[1]) * G[2] + cen[2]
+    store[dim] = idx[:, None]
+
+
 def functionspace(mesh: Mesh, element_spec, shape=None) -> FunctionSpace:
     """Create a function space.
 
@@ -220,6 +343,11 @@ def functionspace(mesh: Mesh, element_spec, shape=None) -> FunctionSpace:
     degree = element_spec[1]
     element = lagrange_element(mesh.cell_type, degree)
     bs = 1 if shape is None else int(np.prod(shape))
+    grid = _lattice_grid_dofs(mesh, element)
+    if grid is not None:
+        dofmap, nblocks, coords, store, meta = grid
+        return FunctionSpace(mesh, element, bs, dofmap, nblocks, coords, store,
+                             grid_meta=meta)
     dofmap, nblocks, coords, store = _canonical_entity_dofs(mesh, element)
     return FunctionSpace(mesh, element, bs, dofmap, nblocks, coords, store)
 
@@ -349,6 +477,8 @@ def locate_dofs_topological(V: FunctionSpace, dim: int, entities) -> np.ndarray:
     entities = np.asarray(entities, dtype=np.int64)
     mesh = V.mesh
     store = V.entity_dofs_store
+    for d in range(1, dim + 1):
+        _ensure_entity_store(V, d)
     blocks = []
     # entity's own interior dofs
     if dim in store and store[dim].size:

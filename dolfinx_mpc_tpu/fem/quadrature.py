@@ -21,11 +21,51 @@ def _gauss_1d(n: int):
     return (x + 1.0) / 2.0, w / 2.0
 
 
+# Minimal symmetric simplex rules (Dunavant triangles, Keast tets) for low
+# degrees — the Duffy tensor fallback below needs n^tdim points (27 for a
+# degree-2 tet!) where these need 1-8, which directly scales the per-cell
+# kernel flops and the SoA unroll budget (ops/soa_kernels.py).
+def _tri_rule(degree: int):
+    if degree <= 1:
+        return np.array([[1 / 3, 1 / 3]]), np.array([0.5])
+    if degree == 2:
+        a = np.array([[1 / 6, 1 / 6], [2 / 3, 1 / 6], [1 / 6, 2 / 3]])
+        return a, np.full(3, 1 / 6)
+    if degree == 3:  # Dunavant degree-3, 4 points
+        p = np.array([[1 / 3, 1 / 3], [0.6, 0.2], [0.2, 0.6], [0.2, 0.2]])
+        w = np.array([-27 / 96, 25 / 96, 25 / 96, 25 / 96])
+        return p, w
+    return None
+
+
+def _tet_rule(degree: int):
+    if degree <= 1:
+        return np.array([[0.25, 0.25, 0.25]]), np.array([1 / 6])
+    if degree == 2:  # Keast 4-point
+        a, b = 0.5854101966249685, 0.1381966011250105
+        p = np.array([[b, b, b], [a, b, b], [b, a, b], [b, b, a]])
+        return p, np.full(4, 1 / 24)
+    if degree == 3:  # Keast 5-point (centroid + 4 symmetric, degree-3 exact)
+        c = np.array([[0.25, 0.25, 0.25]])
+        a, b = 0.5, 1 / 6
+        p = np.array([[b, b, b], [a, b, b], [b, a, b], [b, b, a]])
+        return np.vstack([c, p]), np.concatenate([[-2 / 15], np.full(4, 3 / 40)])
+    return None
+
+
 def quadrature_rule(cell: ReferenceCell, degree: int):
     """Return (points (nq, tdim), weights (nq,)) integrating polynomials of
     total degree `degree` exactly on the reference cell."""
     if cell.name == CellType.point:
         return np.zeros((1, 0)), np.ones(1)
+    if cell.name == CellType.triangle:
+        r = _tri_rule(degree)
+        if r is not None:
+            return r
+    if cell.name == CellType.tetrahedron:
+        r = _tet_rule(degree)
+        if r is not None:
+            return r
     # Duffy transform multiplies the integrand degree by up to +1 per collapsed
     # axis; be safe with n = ceil((degree + tdim) / 2) + 1 points per axis.
     n = max(1, (degree + cell.tdim) // 2 + 1)

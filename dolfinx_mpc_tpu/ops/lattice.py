@@ -353,6 +353,77 @@ def _vertex_delta_table(mesh, lat: LatticeInfo):
     return deltas
 
 
+def _dof_delta_table(mesh, element, lat: LatticeInfo):
+    """(T, ndofs_scalar, 3) integer node deltas on the degree-refined grid:
+    node position in refined lattice units = degree * sum_v phi_v(node_ref) *
+    vertex_delta (the geometry map is P1/Q1).  For degree 1 this IS the
+    vertex delta table; for degree 2 edge/face/interior nodes land on the
+    half-step grid (see fem/functionspace.py:_lattice_grid_dofs)."""
+    vdeltas = _vertex_delta_table(mesh, lat)
+    r = element.degree
+    if r == 1:
+        return vdeltas
+    from ..fem.elements import lagrange_element
+
+    geo = lagrange_element(mesh.cell_type, 1)
+    phi = geo.tabulate(element.nodes)  # (nd, nv)
+    dd = r * np.einsum("nv,tvd->tnd", phi, vdeltas.astype(np.float64))
+    ddi = np.rint(dd).astype(np.int64)
+    assert np.abs(dd - ddi).max() < 1e-9, "element nodes off the refined lattice"
+    return ddi
+
+
+def _pack_parts(parts, offsets, bs, r3, qshape, out_xyz, zdtype):
+    """Assemble the DIA data array from q-space padded blocks — the strided
+    scatter a refined grid needs, done scatter-free.
+
+    A contribution at base-corner delta `da` lands on refined-grid points
+    da + r*box.  Factor each grid axis as g = q*r + s (q box-aligned, s the
+    sub-step): for fixed s the targets form a DENSE q-range, so each
+    (offset, da) group is one jnp.pad — exactly the degree-1 scheme — and the
+    full axis is recovered by interleaving the r sub-grids with one
+    transpose+reshape at the end.
+
+    parts[oid][ci][cj]: dict (s0, s1, s2) -> (q0, q1, q2) block (or absent).
+    Returns (n_off, bs, bs, out_xyz[0], out_xyz[1], out_xyz[2])."""
+    r0, r1, r2 = r3
+    q0, q1, q2 = qshape
+    if r0 == r1 == r2 == 1:
+        zero = None
+        rows = []
+        for oid in range(len(offsets)):
+            for ci in range(bs):
+                for cj in range(bs):
+                    e = parts[oid][ci][cj].get((0, 0, 0))
+                    if e is None:
+                        if zero is None:
+                            zero = jnp.zeros((q0, q1, q2), zdtype)
+                        e = zero
+                    rows.append(e)
+        data = jnp.stack(rows).reshape(len(offsets), bs, bs, q0, q1, q2)
+        return data[..., : out_xyz[0], : out_xyz[1], : out_xyz[2]]
+    zero = None
+    rows = []
+    for oid in range(len(offsets)):
+        for ci in range(bs):
+            for cj in range(bs):
+                entry = parts[oid][ci][cj]
+                for s0 in range(r0):
+                    for s1 in range(r1):
+                        for s2 in range(r2):
+                            e = entry.get((s0, s1, s2))
+                            if e is None:
+                                if zero is None:
+                                    zero = jnp.zeros((q0, q1, q2), zdtype)
+                                e = zero
+                            rows.append(e)
+    data = jnp.stack(rows).reshape(len(offsets), bs, bs, r0, r1, r2, q0, q1, q2)
+    data = data.transpose(0, 1, 2, 6, 3, 7, 4, 8, 5).reshape(
+        len(offsets), bs, bs, q0 * r0, q1 * r1, q2 * r2
+    )
+    return data[..., : out_xyz[0], : out_xyz[1], : out_xyz[2]]
+
+
 def _detect_lattice_wrap(mpc, vshape, bs):
     """Check that the MPC is a pure lattice-plane identification: every slave
     has exactly one master with coefficient 1, slaves live on the LAST plane
@@ -452,14 +523,23 @@ class CompiledLatticeForm:
         lat = get_lattice_info(mesh)
         assert lat is not None, "mesh has no lattice info (use create_box/create_rectangle)"
         assert len(form.terms) == 1 and form.terms[0].integral == "cell" and form.terms[0].entities is None
-        assert V.element.degree == 1, "lattice fast path currently supports P1/Q1"
+        r = V.element.degree
+        assert r in (1, 2), "lattice fast path supports degree 1 and 2"
+        if r > 1:
+            # degree 2 requires the grid-lex dof numbering so dofs == points
+            # of the r-refined lattice (fem/functionspace.py:_lattice_grid_dofs)
+            assert getattr(V, "grid_meta", None) is not None, (
+                "degree-2 lattice path needs a grid-numbered space (pristine box mesh)"
+            )
         self.V, self.mesh, self.lat = V, mesh, lat
         self.dtype = np.dtype(dtype)
         self.bcs = bcs
         self.diagval = diagval
         nx, ny, nz_ = lat.dims
         is2d = mesh.tdim == 2
-        self.vshape = (nx + 1, ny + 1, 1 if is2d else nz_ + 1)
+        self.refine = r
+        self.r3 = (r, r, 1 if is2d else r)
+        self.vshape = (r * nx + 1, r * ny + 1, 1 if is2d else r * nz_ + 1)
         bs = V.block_size
         self.bs = bs
 
@@ -472,19 +552,21 @@ class CompiledLatticeForm:
 
         self.kernel_soa = compile_cell_kernel_soa(mesh, V, V, form.terms[0], self.dtype)
 
-        # vertex deltas and diagonal offsets
-        deltas = _vertex_delta_table(mesh, lat)  # (T, nv, 3)
-        T, nv, _ = deltas.shape
+        # node deltas (refined-grid units) and diagonal offsets
+        deltas = _dof_delta_table(mesh, V.element, lat)  # (T, ns, 3)
+        T, ns, _ = deltas.shape
         offs = {}
         self.moves = []  # (t, a, b, off_id, da)
         for t in range(T):
-            for a in range(nv):
-                for b in range(nv):
+            for a in range(ns):
+                for b in range(ns):
                     off = tuple(deltas[t, b] - deltas[t, a])
                     oid = offs.setdefault(off, len(offs))
                     self.moves.append((t, a, b, oid, tuple(deltas[t, a])))
         self.offsets = tuple(offs.keys())
         self._deltas = deltas
+        # geometry (cell-corner) deltas for device coord synthesis
+        self._geo_deltas = _vertex_delta_table(mesh, lat)
 
         # bc data
         bc_mask_np = _bc_masks(V, bcs, self.dtype)
@@ -636,32 +718,61 @@ class CompiledLatticeForm:
             self._assemble = jax.jit(self._assemble_impl)
 
     # ------------------------------------------------------------------
+    def _grouped_moves(self):
+        grouped = {}
+        for t, a, b, oid, da in self.moves:
+            grouped.setdefault((oid, da), []).append((t, a, b))
+        return grouped
+
+    def _pack(self, fill, nb, out_xyz, zdtype):
+        """Accumulate move-group blocks into the DIA data array.
+
+        fill(tab, ci, cj) -> (nb[0], nb[1], nb[2]) box-grid block (the summed
+        element-tensor entries of one (offset, corner-delta) group).  Targets
+        are da + r*box: q = da//r is the box-aligned part ({0,1} since
+        deltas <= r), s = da%r picks the sub-grid — each group is ONE jnp.pad
+        in q-space and _pack_parts interleaves the sub-grids (scatter-free
+        for any refinement)."""
+        r0, r1, r2 = self.r3
+        bs = self.bs
+        parts = [[[dict() for _ in range(bs)] for _ in range(bs)] for _ in self.offsets]
+        for (oid, da), tab in self._grouped_moves().items():
+            q = (da[0] // r0, da[1] // r1, da[2] // r2)
+            s = (da[0] % r0, da[1] % r1, da[2] % r2)
+            pad = ((q[0], 1 - q[0]), (q[1], 1 - q[1]), (q[2], 1 - q[2]))
+            for ci in range(bs):
+                for cj in range(bs):
+                    blk = fill(tab, ci, cj)
+                    padded = jnp.pad(blk, pad)
+                    d = parts[oid][ci][cj]
+                    d[s] = padded if s not in d else d[s] + padded
+        qshape = (nb[0] + 1, nb[1] + 1, nb[2] + 1)
+        return _pack_parts(parts, self.offsets, bs, self.r3, qshape, out_xyz, zdtype)
+
+    # ------------------------------------------------------------------
     def _assemble_impl(self, coords, bc_mask, coeff_vecs, diagval):
         V, lat = self.V, self.lat
         nx, ny, nz_ = lat.dims
         n0, n1, n2 = self.vshape
         bs = self.bs
         T = lat.cells_per_box
-        nv = self.mesh.cells.shape[1]
+        ns = V.element.ndofs
         dt = self.dtype
 
         wl = {n: coeff_vecs[n][self._wdofmaps[n]] for n in coeff_vecs}
-        Ae = self.kernel(coords, self.lf, wl)  # (n_cells, nd, nd) nd = nv*bs
+        Ae = self.kernel(coords, self.lf, wl)  # (n_cells, nd, nd) nd = ns*bs
         # zero BC rows/cols; diagval handled on the DIA diagonal below
         mr = 1.0 - bc_mask[jnp.asarray(V.dofmap, jnp.int32)]  # (n_cells, nd)
         Ae_bc = Ae * mr[:, :, None] * mr[:, None, :]
         # exclude slave cells from the stencil part
         Ae_st = Ae_bc * (1.0 - self.slave_cell_mask)[:, None, None].astype(Ae.dtype)
         nz_cells = 1 if self.mesh.tdim == 2 else nz_
-        Ae_grid = Ae_st.reshape(nx, ny, nz_cells, T, nv, bs, nv, bs)
+        Ae_grid = Ae_st.reshape(nx, ny, nz_cells, T, ns, bs, ns, bs)
 
-        data = jnp.zeros((len(self.offsets), bs, bs, n0, n1, n2), dtype=Ae.dtype)
-        for t, a, b, oid, (di, dj, dk) in self.moves:
-            for ci in range(bs):
-                for cj in range(bs):
-                    data = data.at[
-                        oid, ci, cj, di : di + nx, dj : dj + ny, dk : dk + nz_cells
-                    ].add(Ae_grid[:, :, :, t, a, ci, b, cj])
+        data = self._pack(
+            lambda tab, ci, cj: sum(Ae_grid[:, :, :, t, a, ci, b, cj] for t, a, b in tab),
+            (nx, ny, nz_cells), (n0, n1, n2), Ae.dtype,
+        )
         # Dirichlet + slave diagval on the (0,0,0) diagonal
         zid = self.offsets.index((0, 0, 0))
         diag_add = jnp.zeros(self.V.num_dofs, dtype=Ae.dtype)
@@ -722,42 +833,9 @@ class CompiledLatticeForm:
         # fused pad(sum(...)) expression — a chain of .at[].add on the big
         # data array costs a full read-modify-write per move (~96x) while
         # padded sums fuse into one output pass per (oid, ci, cj)
-        grouped = {}
-        for t, a, b, oid, da in self.moves:
-            grouped.setdefault((oid, da), []).append((t, a, b))
-        data_parts = [
-            [[None for _ in range(bs)] for _ in range(bs)] for _ in self.offsets
-        ]
-        for (oid, (di, dj, dk)), tab in grouped.items():
-            pad = (
-                (di, n0 - di - nx),
-                (dj, n1 - dj - ny),
-                (dk, n2 - dk - nz_cells),
-            )
-            for ci in range(bs):
-                for cj in range(bs):
-                    blk = sum(Ae_grid[a * bs + ci, b * bs + cj, t] for t, a, b in tab)
-                    padded = jnp.pad(blk, pad)
-                    cur = data_parts[oid][ci][cj]
-                    data_parts[oid][ci][cj] = padded if cur is None else cur + padded
-        zerog = jnp.zeros((n0, n1, n2), Ae.dtype)
-        data = jnp.stack(
-            [
-                jnp.stack(
-                    [
-                        jnp.stack(
-                            [
-                                data_parts[oid][ci][cj]
-                                if data_parts[oid][ci][cj] is not None
-                                else zerog
-                                for cj in range(bs)
-                            ]
-                        )
-                        for ci in range(bs)
-                    ]
-                )
-                for oid in range(len(self.offsets))
-            ]
+        data = self._pack(
+            lambda tab, ci, cj: sum(Ae_grid[a * bs + ci, b * bs + cj, t] for t, a, b in tab),
+            (nx, ny, nz_cells), (n0, n1, n2), Ae.dtype,
         )
         zid = self.offsets.index((0, 0, 0))
         diag_add = jnp.zeros(self.V.num_dofs, dtype=Ae.dtype)
@@ -815,10 +893,8 @@ class CompiledLatticeForm:
         g = self.mesh.gdim
         nd = self.V.ndofs_cell
         csz = nxc * T * ny * nz_cells
-
-        grouped = {}
-        for t, a, b, oid, da in self.moves:
-            grouped.setdefault((oid, da), []).append((t, a, b))
+        r0 = self.r3[0]
+        wx = r0 * nxc + 1  # refined-grid x extent of one slab window
 
         def body(ic, data):
             c0 = ic * csz
@@ -827,19 +903,17 @@ class CompiledLatticeForm:
             Ae = self.kernel_soa(cs, {})
             Ae = Ae * ks[:, None, :] * ks[None, :, :]
             Ag = Ae.reshape(nd, nd, nxc, T, ny, nz_cells)
-            local = jnp.zeros((len(self.offsets), bs, bs, nxc + 1, n1, n2), Ae.dtype)
-            for (oid, (di, dj, dk)), tab in grouped.items():
-                for ci in range(bs):
-                    for cj in range(bs):
-                        blk = sum(Ag[a * bs + ci, b * bs + cj, :, t] for t, a, b in tab)
-                        local = local.at[
-                            oid, ci, cj, di : di + nxc, dj : dj + ny, dk : dk + nz_cells
-                        ].add(blk)
-            win = jax.lax.dynamic_slice(
-                data, (0, 0, 0, ic * nxc, 0, 0),
-                (len(self.offsets), bs, bs, nxc + 1, n1, n2),
+            local = self._pack(
+                lambda tab, ci, cj: sum(Ag[a * bs + ci, b * bs + cj, :, t] for t, a, b in tab),
+                (nxc, ny, nz_cells), (wx, n1, n2), Ae.dtype,
             )
-            return jax.lax.dynamic_update_slice(data, win + local, (0, 0, 0, ic * nxc, 0, 0))
+            win = jax.lax.dynamic_slice(
+                data, (0, 0, 0, ic * r0 * nxc, 0, 0),
+                (len(self.offsets), bs, bs, wx, n1, n2),
+            )
+            return jax.lax.dynamic_update_slice(
+                data, win + local, (0, 0, 0, ic * r0 * nxc, 0, 0)
+            )
 
         data = jax.lax.fori_loop(
             0, NC, body, jnp.zeros((len(self.offsets), bs, bs, n0, n1, n2),
@@ -872,7 +946,7 @@ class CompiledLatticeForm:
         nx, ny, nz_ = lat.dims
         nzc = 1 if self.mesh.tdim == 2 else nz_
         T = lat.cells_per_box
-        nv = self._deltas.shape[1]
+        nv = self._geo_deltas.shape[1]
         g = self.mesh.gdim
         dt = _real_dtype(self.dtype)
         if order == "tmajor":
@@ -891,7 +965,7 @@ class CompiledLatticeForm:
         scale = 1.0 + jitter
         comps = []
         for d in range(g):
-            deltas_d = self._deltas[:, :, d].T.reshape(nv, *dshape)  # (nv,1,T,1,1)
+            deltas_d = self._geo_deltas[:, :, d].T.reshape(nv, *dshape)  # (nv,1,T,1,1)
             pos = base[d][None].astype(dt) + jnp.asarray(deltas_d.astype(np.float64), dt)
             x_d = scale * (self._origin[d] + self._spacing[d] * pos)
             comps.append(x_d.reshape(nv, -1))
@@ -946,38 +1020,9 @@ class CompiledLatticeForm:
         Ae = self.kernel_soa(self._synth_coords(jitter, "tmajor"), {})
         nd = Ae.shape[0]
         Ae_grid = Ae.reshape(nd, nd, T, nx, ny, nzc)
-        grouped = {}
-        for t, a, b, oid, da in self.moves:
-            grouped.setdefault((oid, da), []).append((t, a, b))
-        data_parts = [
-            [[None for _ in range(bs)] for _ in range(bs)] for _ in self.offsets
-        ]
-        for (oid, (di, dj, dk)), tab in grouped.items():
-            pad = ((di, n0 - di - nx), (dj, n1 - dj - ny), (dk, n2 - dk - nzc))
-            for ci in range(bs):
-                for cj in range(bs):
-                    blk = sum(Ae_grid[a * bs + ci, b * bs + cj, t] for t, a, b in tab)
-                    padded = jnp.pad(blk, pad)
-                    cur = data_parts[oid][ci][cj]
-                    data_parts[oid][ci][cj] = padded if cur is None else cur + padded
-        zerog = jnp.zeros((n0, n1, n2), Ae.dtype)
-        data = jnp.stack(
-            [
-                jnp.stack(
-                    [
-                        jnp.stack(
-                            [
-                                data_parts[oid][ci][cj]
-                                if data_parts[oid][ci][cj] is not None
-                                else zerog
-                                for cj in range(bs)
-                            ]
-                        )
-                        for ci in range(bs)
-                    ]
-                )
-                for oid in range(len(self.offsets))
-            ]
+        data = self._pack(
+            lambda tab, ci, cj: sum(Ae_grid[a * bs + ci, b * bs + cj, t] for t, a, b in tab),
+            (nx, ny, nzc), (n0, n1, n2), Ae.dtype,
         )
         data = self._zero_bc_on_grid(data)
         data = self._diag_adds(data, diagval)
@@ -1000,10 +1045,8 @@ class CompiledLatticeForm:
         NC = self.x_chunks
         nxc = nx // NC
         nd = self.V.ndofs_cell
-
-        grouped = {}
-        for t, a, b, oid, da in self.moves:
-            grouped.setdefault((oid, da), []).append((t, a, b))
+        r0 = self.r3[0]
+        wx = r0 * nxc + 1
 
         rdt = _real_dtype(self.dtype)
         out_dt = self.dtype if np.dtype(self.dtype).kind == "c" else rdt
@@ -1012,20 +1055,16 @@ class CompiledLatticeForm:
             cs = self._synth_coords(jitter, "islab", ic)
             Ae = self.kernel_soa(cs, {})
             Ag = Ae.reshape(nd, nd, nxc, T, ny, nzc)
-            local = jnp.zeros((len(self.offsets), bs, bs, nxc + 1, n1, n2), Ae.dtype)
-            for (oid, (di, dj, dk)), tab in grouped.items():
-                for ci in range(bs):
-                    for cj in range(bs):
-                        blk = sum(Ag[a * bs + ci, b * bs + cj, :, t] for t, a, b in tab)
-                        local = local.at[
-                            oid, ci, cj, di : di + nxc, dj : dj + ny, dk : dk + nzc
-                        ].add(blk)
+            local = self._pack(
+                lambda tab, ci, cj: sum(Ag[a * bs + ci, b * bs + cj, :, t] for t, a, b in tab),
+                (nxc, ny, nzc), (wx, n1, n2), Ae.dtype,
+            )
             win = jax.lax.dynamic_slice(
-                data, (0, 0, 0, ic * nxc, 0, 0),
-                (len(self.offsets), bs, bs, nxc + 1, n1, n2),
+                data, (0, 0, 0, ic * r0 * nxc, 0, 0),
+                (len(self.offsets), bs, bs, wx, n1, n2),
             )
             return jax.lax.dynamic_update_slice(
-                data, win + local, (0, 0, 0, ic * nxc, 0, 0)
+                data, win + local, (0, 0, 0, ic * r0 * nxc, 0, 0)
             )
 
         data = jax.lax.fori_loop(
