@@ -42,22 +42,30 @@ def build(force: bool = False) -> str:
     subprocess.run(cmd, check=True, capture_output=True)
     return BIN
 
-def measure(n: int = 64, reps: int = 3, force: bool = False) -> dict:
-    """Return the measured baseline dict, using the cache when it matches n."""
-    if not force and os.path.exists(CACHE):
+def measure(n: int = 64, reps: int = 3, degree: int = 1, force: bool = False) -> dict:
+    """Return the measured baseline dict, using the cache when it matches
+    (n, degree).  One cache entry per (n, degree) pair."""
+    key = f"{n}_d{degree}"
+    cache = {}
+    if os.path.exists(CACHE):
         with open(CACHE) as f:
-            cached = json.load(f)
-        if cached.get("n") == n:
-            return cached
+            cache = json.load(f)
+        if not isinstance(cache, dict) or "mdof_s" in cache:  # legacy flat cache
+            cache = {f"{cache.get('n')}_d{cache.get('degree', 1)}": cache} if cache else {}
+    if not force and key in cache:
+        return cache[key]
     out = subprocess.run(
-        [build(), str(n), str(reps)], check=True, capture_output=True, text=True
+        [build(), str(n), str(reps), str(degree)],
+        check=True, capture_output=True, text=True,
     ).stdout
     result = json.loads(out.strip().splitlines()[-1])
+    cache[key] = result
     with open(CACHE, "w") as f:
-        json.dump(result, f, indent=1)
+        json.dump(cache, f, indent=1)
     return result
 
 
 if __name__ == "__main__":
     nn = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    print(json.dumps(measure(nn, force=True)))
+    dd = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    print(json.dumps(measure(nn, degree=dd, force=True)))

@@ -4,10 +4,12 @@
 // dolfinx/PETSc cannot run in this image.  This program therefore
 // reimplements (from scratch — no code copied) the per-cell pipeline that
 // dolfinx_mpc's C++ assembler executes for the canonical benchmark problem
-// (3D periodic Poisson, P1 tetrahedra on an n^3 unit cube,
-// /root/reference/python/benchmarks/bench_periodic.py):
+// (3D periodic Poisson, P1/P2 tetrahedra on an n^3 unit cube,
+// /root/reference/python/benchmarks/bench_periodic.py; degree 2 is the
+// reference Makefile's canonical config):
 //
-//   geometry gather -> FFCx-equivalent P1 Laplacian element kernel
+//   geometry gather -> FFCx-equivalent Laplacian element kernel (P1: 1-point
+//   rule, P2: Keast 4-point rule, both exact for affine tets)
 //   -> Dirichlet row/col zeroing -> master expansion for slave cells
 //      (semantics of cpp/assemble_matrix.cpp:100-268 modify_mpc_cell)
 //   -> insertion into preallocated CSR rows by sorted search
@@ -19,8 +21,12 @@
 // BASELINE.md, which is generous to the reference (real MPI assembly has
 // ghost-exchange and memory-bandwidth losses).
 //
+// Dof numbering: nodes of the degree-refined (r*n+1)^3 grid, lex order (the
+// same grid-lex convention the jax package uses, so dumped matrices are
+// entry-identical for the tests/test_ref_baseline.py cross-check).
+//
 // Build: g++ -O3 -march=native -fopenmp -std=c++17 ref_baseline.cpp -o ref_baseline
-// Run:   ./ref_baseline [n=64] [reps=3]   -> one JSON line on stdout
+// Run:   ./ref_baseline [n=64] [reps=3] [degree=1] [dumpfile]
 #include <algorithm>
 #include <chrono>
 #include <cmath>
@@ -35,100 +41,147 @@
 using std::int32_t;
 using std::int64_t;
 
-struct Target {  // expansion of one local dof under the MPC transform
-  int32_t dof;
-  double coeff;
-};
-
 int main(int argc, char** argv) {
   const int n = argc > 1 ? std::atoi(argv[1]) : 64;
   const int reps = argc > 2 ? std::atoi(argv[2]) : 3;
-  const int np = n + 1;
-  const int64_t num_nodes = int64_t(np) * np * np;
+  const int deg = argc > 3 ? std::atoi(argv[3]) : 1;
+  const int r = deg;               // grid refinement = degree
+  const int gp = r * n + 1;        // refined dof grid points per axis
+  const int nd = deg == 1 ? 4 : 10;  // local dofs per tet
+  const int64_t num_dofs = int64_t(gp) * gp * gp;
   const int64_t num_cells = 6LL * n * n * n;
 
-  auto node = [np](int i, int j, int k) -> int32_t {
-    return (int32_t(i) * np + j) * np + k;
+  auto gnode = [gp](int i, int j, int k) -> int32_t {
+    return (int32_t(i) * gp + j) * gp + k;
   };
 
-  // --- mesh geometry (explicit coords array: the reference reads geometry
-  // from a flat array through the geometry dofmap, so we do too) ---
-  std::vector<double> coords(3 * num_nodes);
-  for (int i = 0; i < np; ++i)
-    for (int j = 0; j < np; ++j)
-      for (int k = 0; k < np; ++k) {
-        int32_t v = node(i, j, k);
-        coords[3 * v + 0] = double(i) / n;
-        coords[3 * v + 1] = double(j) / n;
-        coords[3 * v + 2] = double(k) / n;
-      }
-
+  // --- cell dof lists + per-cell vertex coords -------------------------
   // Kuhn triangulation: 6 tets per cube, each a monotone path 000 -> 111.
+  // Local dof order: 4 vertices then 6 edges (0,1)(0,2)(0,3)(1,2)(1,3)(2,3)
+  // (self-consistent with the basis tables below).
   static const int paths[6][2] = {{0, 1}, {0, 2}, {1, 0}, {1, 2}, {2, 0}, {2, 1}};
-  std::vector<int32_t> cells(4 * num_cells);
+  static const int edges[6][2] = {{0, 1}, {0, 2}, {0, 3}, {1, 2}, {1, 3}, {2, 3}};
+  const int np1 = n + 1;
+  const int64_t num_verts = int64_t(np1) * np1 * np1;
+  auto vnode = [np1](int i, int j, int k) -> int32_t {
+    return (int32_t(i) * np1 + j) * np1 + k;
+  };
+  std::vector<double> vcoords(3 * num_verts);  // geometry array (x_dofmap source)
+  for (int i = 0; i < np1; ++i)
+    for (int j = 0; j < np1; ++j)
+      for (int k = 0; k < np1; ++k) {
+        int32_t v = vnode(i, j, k);
+        vcoords[3 * v + 0] = double(i) / n;
+        vcoords[3 * v + 1] = double(j) / n;
+        vcoords[3 * v + 2] = double(k) / n;
+      }
+  std::vector<int32_t> cdofs(int64_t(nd) * num_cells);
+  std::vector<int32_t> gverts(4 * num_cells);  // geometry dofmap (4 vertices/cell)
   {
     int64_t c = 0;
     for (int i = 0; i < n; ++i)
       for (int j = 0; j < n; ++j)
         for (int k = 0; k < n; ++k)
-          for (int t = 0; t < 6; ++t) {
+          for (int t = 0; t < 6; ++t, ++c) {
             int d0 = paths[t][0], d1 = paths[t][1];
             int d2 = 3 - d0 - d1;
-            int p[3] = {i, j, k};
-            cells[4 * c + 0] = node(p[0], p[1], p[2]);
-            p[d0]++; cells[4 * c + 1] = node(p[0], p[1], p[2]);
-            p[d1]++; cells[4 * c + 2] = node(p[0], p[1], p[2]);
-            p[d2]++; cells[4 * c + 3] = node(p[0], p[1], p[2]);
-            ++c;
+            int vi[4][3];
+            vi[0][0] = i; vi[0][1] = j; vi[0][2] = k;
+            for (int d = 0; d < 3; ++d) vi[1][d] = vi[0][d];
+            vi[1][d0]++;
+            for (int d = 0; d < 3; ++d) vi[2][d] = vi[1][d];
+            vi[2][d1]++;
+            for (int d = 0; d < 3; ++d) vi[3][d] = vi[2][d];
+            vi[3][d2]++;
+            for (int a = 0; a < 4; ++a) {
+              cdofs[nd * c + a] = gnode(r * vi[a][0], r * vi[a][1], r * vi[a][2]);
+              gverts[4 * c + a] = vnode(vi[a][0], vi[a][1], vi[a][2]);
+            }
+            if (deg == 2)
+              for (int e = 0; e < 6; ++e) {
+                const int* uv = edges[e];
+                cdofs[nd * c + 4 + e] =
+                    gnode(vi[uv[0]][0] + vi[uv[1]][0], vi[uv[0]][1] + vi[uv[1]][1],
+                          vi[uv[0]][2] + vi[uv[1]][2]);
+              }
           }
   }
 
   // --- constraints: periodic x=1 -> x=0 (coeff 1), Dirichlet at y=0, y=1;
   // bc dofs are excluded from the slave set (reference PeriodicConstraint
-  // behavior) ---
-  std::vector<uint8_t> is_bc(num_nodes, 0), is_slave(num_nodes, 0);
-  std::vector<int32_t> master_of(num_nodes, -1);
-  for (int i = 0; i < np; ++i)
-    for (int j = 0; j < np; ++j)
-      for (int k = 0; k < np; ++k) {
-        int32_t v = node(i, j, k);
-        if (j == 0 || j == n) is_bc[v] = 1;
-        else if (i == n) { is_slave[v] = 1; master_of[v] = node(0, j, k); }
+  // behavior), classified by refined-grid coordinates ---
+  std::vector<uint8_t> is_bc(num_dofs, 0), is_slave(num_dofs, 0);
+  std::vector<int32_t> master_of(num_dofs, -1);
+  for (int i = 0; i < gp; ++i)
+    for (int j = 0; j < gp; ++j)
+      for (int k = 0; k < gp; ++k) {
+        int32_t v = gnode(i, j, k);
+        if (j == 0 || j == gp - 1) is_bc[v] = 1;
+        else if (i == gp - 1) { is_slave[v] = 1; master_of[v] = gnode(0, j, k); }
       }
+
+  // --- quadrature + reference basis gradient tables --------------------
+  // grad(phi_a)(q) expressed in the lambda-gradient basis:
+  // grad phi_a = sum_v C[q][a][v] grad(lambda_v); physical grad(lambda_v)
+  // comes from the cofactor pullback per cell.
+  int nq;
+  double qw[4];
+  double C[4][10][4] = {};
+  if (deg == 1) {
+    nq = 1;
+    qw[0] = 1.0 / 6.0;
+    for (int a = 0; a < 4; ++a) C[0][a][a] = 1.0;
+  } else {
+    nq = 4;  // Keast 4-point, degree-2 exact
+    const double aa = 0.5854101966249685, bb = 0.1381966011250105;
+    double lam[4][4];
+    for (int q = 0; q < 4; ++q) {
+      qw[q] = 1.0 / 24.0;
+      double x = (q == 1) ? aa : bb, y = (q == 2) ? aa : bb, z = (q == 3) ? aa : bb;
+      lam[q][0] = 1.0 - x - y - z; lam[q][1] = x; lam[q][2] = y; lam[q][3] = z;
+    }
+    for (int q = 0; q < 4; ++q) {
+      for (int a = 0; a < 4; ++a) C[q][a][a] = 4.0 * lam[q][a] - 1.0;  // vertex
+      for (int e = 0; e < 6; ++e) {  // edge (u,v): phi = 4 lu lv
+        int u = edges[e][0], v = edges[e][1];
+        C[q][4 + e][u] = 4.0 * lam[q][v];
+        C[q][4 + e][v] = 4.0 * lam[q][u];
+      }
+    }
+  }
 
   // --- sparsity pattern (setup, untimed — the reference also preallocates
   // via create_sparsity_pattern before the timed assembly) ---
-  // Collect (row,col) pairs after MPC target substitution, sort, unique.
   std::vector<int64_t> pairs;
-  pairs.reserve(16 * num_cells + num_nodes);
+  pairs.reserve(int64_t(nd) * nd * num_cells + num_dofs);
   for (int64_t c = 0; c < num_cells; ++c) {
-    int32_t tgt[4];
-    for (int a = 0; a < 4; ++a) {
-      int32_t d = cells[4 * c + a];
+    int32_t tgt[10];
+    for (int a = 0; a < nd; ++a) {
+      int32_t d = cdofs[nd * c + a];
       tgt[a] = is_slave[d] ? master_of[d] : d;
     }
-    for (int a = 0; a < 4; ++a)
-      for (int b = 0; b < 4; ++b)
-        pairs.push_back(int64_t(tgt[a]) * num_nodes + tgt[b]);
+    for (int a = 0; a < nd; ++a)
+      for (int b = 0; b < nd; ++b)
+        pairs.push_back(int64_t(tgt[a]) * num_dofs + tgt[b]);
   }
-  for (int64_t v = 0; v < num_nodes; ++v)
-    pairs.push_back(v * num_nodes + v);  // bc / slave diagonals
+  for (int64_t v = 0; v < num_dofs; ++v)
+    pairs.push_back(v * num_dofs + v);  // bc / slave diagonals
   std::sort(pairs.begin(), pairs.end());
   pairs.erase(std::unique(pairs.begin(), pairs.end()), pairs.end());
-  std::vector<int64_t> rowptr(num_nodes + 1, 0);
+  std::vector<int64_t> rowptr(num_dofs + 1, 0);
   std::vector<int32_t> colidx(pairs.size());
   for (size_t e = 0; e < pairs.size(); ++e) {
-    rowptr[pairs[e] / num_nodes + 1]++;
-    colidx[e] = int32_t(pairs[e] % num_nodes);
+    rowptr[pairs[e] / num_dofs + 1]++;
+    colidx[e] = int32_t(pairs[e] % num_dofs);
   }
-  for (int64_t r = 0; r < num_nodes; ++r) rowptr[r + 1] += rowptr[r];
+  for (int64_t rr = 0; rr < num_dofs; ++rr) rowptr[rr + 1] += rowptr[rr];
   pairs.clear(); pairs.shrink_to_fit();
   std::vector<double> data(colidx.size());
 
   // MatSetValues-equivalent: sorted search within the preallocated row.
-  auto insert = [&](int32_t r, int32_t cc, double v) {
-    const int32_t* beg = colidx.data() + rowptr[r];
-    const int32_t* end = colidx.data() + rowptr[r + 1];
+  auto insert = [&](int32_t rr, int32_t cc, double v) {
+    const int32_t* beg = colidx.data() + rowptr[rr];
+    const int32_t* end = colidx.data() + rowptr[rr + 1];
     const int32_t* it = std::lower_bound(beg, end, cc);
     double& slot = data[it - colidx.data()];
 #ifdef _OPENMP
@@ -145,14 +198,14 @@ int main(int argc, char** argv) {
 #pragma omp parallel for schedule(static)
 #endif
     for (int64_t c = 0; c < num_cells; ++c) {
-      const int32_t* dof = &cells[4 * c];
-      // geometry gather + P1 Laplacian kernel (what FFCx generates for
-      // inner(grad(u),grad(v))*dx at degree-1 quadrature)
-      double x0[3], J[3][3];
-      for (int d = 0; d < 3; ++d) x0[d] = coords[3 * dof[0] + d];
+      const int32_t* dof = &cdofs[nd * c];
+      const int32_t* gv = &gverts[4 * c];
+      // geometry gather through the x-dofmap + affine Jacobian (same
+      // pullback FFCx generates)
+      double J[3][3];
       for (int a = 0; a < 3; ++a)
         for (int d = 0; d < 3; ++d)
-          J[d][a] = coords[3 * dof[a + 1] + d] - x0[d];
+          J[d][a] = vcoords[3 * gv[a + 1] + d] - vcoords[3 * gv[0] + d];
       double cof[3][3];  // cofactors -> inverse transpose * det
       cof[0][0] = J[1][1] * J[2][2] - J[1][2] * J[2][1];
       cof[0][1] = J[1][2] * J[2][0] - J[1][0] * J[2][2];
@@ -164,50 +217,51 @@ int main(int argc, char** argv) {
       cof[2][1] = J[0][2] * J[1][0] - J[0][0] * J[1][2];
       cof[2][2] = J[0][0] * J[1][1] - J[0][1] * J[1][0];
       double det = J[0][0] * cof[0][0] + J[0][1] * cof[0][1] + J[0][2] * cof[0][2];
-      double g[4][3];  // reference-gradient pullback: g_a = cof^T gref_a / det
+      double gl[4][3];  // physical gradients of lambda_0..lambda_3
       for (int d = 0; d < 3; ++d) {
-        g[1][d] = cof[d][0] / det;
-        g[2][d] = cof[d][1] / det;
-        g[3][d] = cof[d][2] / det;
-        g[0][d] = -(g[1][d] + g[2][d] + g[3][d]);
+        gl[1][d] = cof[d][0] / det;
+        gl[2][d] = cof[d][1] / det;
+        gl[3][d] = cof[d][2] / det;
+        gl[0][d] = -(gl[1][d] + gl[2][d] + gl[3][d]);
       }
-      double vol = std::fabs(det) / 6.0;
-      double Ae[4][4];
-      for (int a = 0; a < 4; ++a)
-        for (int b = 0; b < 4; ++b)
-          Ae[a][b] = vol * (g[a][0] * g[b][0] + g[a][1] * g[b][1] + g[a][2] * g[b][2]);
+      double absdet = std::fabs(det);
+      double Ae[10][10] = {};
+      for (int q = 0; q < nq; ++q) {
+        double g[10][3];
+        for (int a = 0; a < nd; ++a)
+          for (int d = 0; d < 3; ++d)
+            g[a][d] = C[q][a][0] * gl[0][d] + C[q][a][1] * gl[1][d] +
+                      C[q][a][2] * gl[2][d] + C[q][a][3] * gl[3][d];
+        double w = qw[q] * absdet;
+        for (int a = 0; a < nd; ++a)
+          for (int b = 0; b < nd; ++b)
+            Ae[a][b] += w * (g[a][0] * g[b][0] + g[a][1] * g[b][1] + g[a][2] * g[b][2]);
+      }
 
       // Dirichlet: zero bc rows and columns of the element tensor
       bool any_slave = false;
-      for (int a = 0; a < 4; ++a) {
+      for (int a = 0; a < nd; ++a) {
         int32_t d = dof[a];
         if (is_bc[d])
-          for (int b = 0; b < 4; ++b) { Ae[a][b] = 0.0; Ae[b][a] = 0.0; }
+          for (int b = 0; b < nd; ++b) { Ae[a][b] = 0.0; Ae[b][a] = 0.0; }
         any_slave |= bool(is_slave[d]);
       }
 
       if (!any_slave) {
-        for (int a = 0; a < 4; ++a)
-          for (int b = 0; b < 4; ++b)
+        for (int a = 0; a < nd; ++a)
+          for (int b = 0; b < nd; ++b)
             insert(dof[a], dof[b], Ae[a][b]);
       } else {
         // modify_mpc_cell semantics: replace each slave row/col by its
-        // flattened (master, coeff) expansion; slave rows/cols of the
-        // eliminated tensor are zero (handled by substitution since each
-        // target list fully replaces the slave).
-        Target tg[4][1];
-        int ntg[4];
-        for (int a = 0; a < 4; ++a) {
+        // flattened (master, coeff) expansion
+        int32_t tgt[10];
+        for (int a = 0; a < nd; ++a) {
           int32_t d = dof[a];
-          if (is_slave[d]) { tg[a][0] = {master_of[d], 1.0}; ntg[a] = 1; }
-          else { tg[a][0] = {d, 1.0}; ntg[a] = 1; }
+          tgt[a] = is_slave[d] ? master_of[d] : d;
         }
-        for (int a = 0; a < 4; ++a)
-          for (int ia = 0; ia < ntg[a]; ++ia)
-            for (int b = 0; b < 4; ++b)
-              for (int ib = 0; ib < ntg[b]; ++ib)
-                insert(tg[a][ia].dof, tg[b][ib].dof,
-                       tg[a][ia].coeff * tg[b][ib].coeff * Ae[a][b]);
+        for (int a = 0; a < nd; ++a)
+          for (int b = 0; b < nd; ++b)
+            insert(tgt[a], tgt[b], Ae[a][b]);
       }
     }
     // diagonal values for bc and slave dofs (reference: diagval inserts
@@ -215,7 +269,7 @@ int main(int argc, char** argv) {
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
 #endif
-    for (int64_t v = 0; v < num_nodes; ++v)
+    for (int64_t v = 0; v < num_dofs; ++v)
       if (is_bc[v] || is_slave[v]) insert(int32_t(v), int32_t(v), 1.0);
     auto t1 = std::chrono::steady_clock::now();
     double dt = std::chrono::duration<double>(t1 - t0).count();
@@ -223,15 +277,17 @@ int main(int argc, char** argv) {
   }
 
   // optional dump for the correctness cross-check against the jax
-  // assembler (tests/test_ref_baseline.py): triplets + node coords, text
-  if (argc > 3) {
-    FILE* f = std::fopen(argv[3], "w");
-    for (int64_t v = 0; v < num_nodes; ++v)
-      std::fprintf(f, "v %.17g %.17g %.17g\n", coords[3 * v], coords[3 * v + 1],
-                   coords[3 * v + 2]);
-    for (int64_t r = 0; r < num_nodes; ++r)
-      for (int64_t e = rowptr[r]; e < rowptr[r + 1]; ++e)
-        std::fprintf(f, "e %lld %d %.17g\n", (long long)r, colidx[e], data[e]);
+  // assembler (tests/test_ref_baseline.py): triplets + dof grid coords, text
+  if (argc > 4) {
+    FILE* f = std::fopen(argv[4], "w");
+    for (int i = 0; i < gp; ++i)
+      for (int j = 0; j < gp; ++j)
+        for (int k = 0; k < gp; ++k)
+          std::fprintf(f, "v %.17g %.17g %.17g\n", double(i) / (gp - 1),
+                       double(j) / (gp - 1), double(k) / (gp - 1));
+    for (int64_t rr = 0; rr < num_dofs; ++rr)
+      for (int64_t e = rowptr[rr]; e < rowptr[rr + 1]; ++e)
+        std::fprintf(f, "e %lld %d %.17g\n", (long long)rr, colidx[e], data[e]);
     std::fclose(f);
   }
 
@@ -239,12 +295,12 @@ int main(int argc, char** argv) {
 #ifdef _OPENMP
   threads = omp_get_max_threads();
 #endif
-  double mdof_s = double(num_nodes) / 1e6 / best;
+  double mdof_s = double(num_dofs) / 1e6 / best;
   std::printf(
-      "{\"n\": %d, \"dofs\": %lld, \"cells\": %lld, \"nnz\": %zu, "
+      "{\"n\": %d, \"degree\": %d, \"dofs\": %lld, \"cells\": %lld, \"nnz\": %zu, "
       "\"threads\": %d, \"assembly_s\": %.6f, \"mdof_s\": %.3f, "
       "\"mcells_s\": %.3f}\n",
-      n, (long long)num_nodes, (long long)num_cells, colidx.size(), threads,
+      n, deg, (long long)num_dofs, (long long)num_cells, colidx.size(), threads,
       best, mdof_s, double(num_cells) / 1e6 / best);
   return 0;
 }

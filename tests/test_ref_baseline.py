@@ -17,7 +17,8 @@ import scipy.sparse as sp
 
 
 @pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
-def test_cpp_baseline_matches_jax_assembler(tmp_path):
+@pytest.mark.parametrize("degree", [1, 2])
+def test_cpp_baseline_matches_jax_assembler(tmp_path, degree):
     import dolfinx_mpc_tpu as dmt
     from dolfinx_mpc_tpu.fem.forms import grad, inner
     from dolfinx_mpc_tpu.fem.mesh import create_unit_cube
@@ -35,7 +36,9 @@ def test_cpp_baseline_matches_jax_assembler(tmp_path):
 
     n = 4
     dump = tmp_path / "mat.txt"
-    subprocess.run([binary, str(n), "1", str(dump)], check=True, capture_output=True)
+    subprocess.run(
+        [binary, str(n), "1", str(degree), str(dump)], check=True, capture_output=True
+    )
 
     coords, rows, cols, vals = [], [], [], []
     for line in dump.read_text().splitlines():
@@ -52,7 +55,7 @@ def test_cpp_baseline_matches_jax_assembler(tmp_path):
 
     # same problem through the package
     mesh = create_unit_cube(n, n, n)
-    V = dmt.functionspace(mesh, ("Lagrange", 1))
+    V = dmt.functionspace(mesh, ("Lagrange", degree))
     bdofs = dmt.locate_dofs_geometrical(
         V, lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], 1.0)
     )
@@ -65,14 +68,15 @@ def test_cpp_baseline_matches_jax_assembler(tmp_path):
         [bc],
     )
     mpc.finalize()
-    a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)))
+    a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)), quad_degree=degree)
     A_jax = dmt.assemble_matrix(a, mpc, bcs=[bc], diagval=1.0).to_scipy().tocsr()
     assert A_jax.shape == (N, N)
 
     # map C++ node ids -> package dof ids via coordinates
     X = V.tabulate_dof_coordinates()
-    key = lambda P: np.round(P * n).astype(np.int64) @ np.array(
-        [(n + 1) ** 2, (n + 1), 1], dtype=np.int64
+    gp = degree * n + 1
+    key = lambda P: np.round(P * (gp - 1)).astype(np.int64) @ np.array(
+        [gp**2, gp, 1], dtype=np.int64
     )
     k_cpp, k_jax = key(coords), key(X)
     order_cpp, order_jax = np.argsort(k_cpp), np.argsort(k_jax)
