@@ -26,6 +26,7 @@ from .fem.functionspace import (
     locate_dofs_geometrical,
     locate_dofs_topological,
 )
+from .fem.mixed import MixedFunctionSpace, mixed_functionspace, split
 from .multipointconstraint import FinalizedMPC, MPCData, MultiPointConstraint
 from .ops.assemble import (
     apply_lifting,
@@ -68,6 +69,9 @@ __all__ = [
     "Function",
     "FunctionSpace",
     "functionspace",
+    "MixedFunctionSpace",
+    "mixed_functionspace",
+    "split",
     "dirichletbc",
     "DirichletBC",
     "locate_dofs_geometrical",

@@ -59,6 +59,17 @@ def _basis_masters(V: FunctionSpace, points: np.ndarray, locator: PointLocator, 
     return cells, blocks, phi
 
 
+def _shift_mpc(data: MPCData, off: int) -> MPCData:
+    """Shift field-local dof indices into the mixed-parent numbering
+    (field views carry dof_offset, fem/mixed.py — the reference's sub-space
+    collapse semantics, PeriodicConstraint.h:525-555)."""
+    if off == 0:
+        return data
+    return MPCData(
+        data.slaves + off, data.masters + off, data.coeffs, data.owners, data.offsets
+    )
+
+
 def _periodic_from_slave_blocks(V, slave_blocks, components, relation, bcs, scale, dtype):
     """Shared tail of the periodic generators: map slave dof coords through
     `relation`, evaluate basis at the image, build the CSR data
@@ -71,6 +82,7 @@ def _periodic_from_slave_blocks(V, slave_blocks, components, relation, bcs, scal
     Newton pull-back point locator."""
     bc_dofs = _bc_dof_set(bcs)
     bs = V.block_size
+    off = getattr(V, "dof_offset", 0)
     coords = V.dof_coords_blocks[slave_blocks]  # (nb, gdim)
     mapped = np.asarray(relation(coords.T)).T[:, : V.mesh.gdim]  # (nb, gdim)
     nb = len(slave_blocks)
@@ -97,19 +109,19 @@ def _periodic_from_slave_blocks(V, slave_blocks, components, relation, bcs, scal
         ph = phi[i][keep]
         for k in components:
             sdof = int(sb) * bs + k
-            if sdof in bc_dofs:
+            if sdof + off in bc_dofs:
                 continue
             slaves.append(sdof)
             masters.extend((mb * bs + k).tolist())
             coeffs.extend((scale * ph).tolist())
             offsets.append(len(masters))
-    return MPCData(
+    return _shift_mpc(MPCData(
         np.asarray(slaves, np.int64),
         np.asarray(masters, np.int64),
         np.asarray(coeffs, dtype),
         np.zeros(len(masters), np.int32),
         np.asarray(offsets, np.int64),
-    )
+    ), off)
 
 
 def create_periodic_condition_geometrical(V, indicator, relation, bcs, scale=1.0, dtype=np.float64):
@@ -143,13 +155,14 @@ def create_slip_condition(V, facet_marker, v: Function, bcs, dtype=np.float64):
     bs = base.block_size
     blocks = locate_dofs_topological(base, mt.dim, facets)
     bc_dofs = _bc_dof_set(bcs)
+    off = getattr(base, "dof_offset", 0)
     n = np.asarray(v.x.array, dtype=dtype).reshape(-1, bs)
     slaves, masters, coeffs, offsets = [], [], [], [0]
     for b in blocks:
         nb = n[b]
         k = int(np.argmax(np.abs(nb)))
         sdof = int(b) * bs + k
-        if sdof in bc_dofs or nb[k] == 0:
+        if sdof + off in bc_dofs or nb[k] == 0:
             continue
         slaves.append(sdof)
         for i in range(bs):
@@ -158,13 +171,13 @@ def create_slip_condition(V, facet_marker, v: Function, bcs, dtype=np.float64):
             masters.append(int(b) * bs + i)
             coeffs.append(-nb[i] / nb[k])
         offsets.append(len(masters))
-    return MPCData(
+    return _shift_mpc(MPCData(
         np.asarray(slaves, np.int64),
         np.asarray(masters, np.int64),
         np.asarray(coeffs, dtype),
         np.zeros(len(masters), np.int32),
         np.asarray(offsets, np.int64),
-    )
+    ), off)
 
 
 def _facet_cells(mesh, facets):
@@ -191,6 +204,7 @@ def create_contact_slip_condition(V, meshtags: MeshTags, slave_marker, master_ma
     component with largest |n| (:420-447); in-block masters coeff -n_i/n_s
     (:216-279); master-side masters n_b/n_s · phi_j(x_s) (:58-161)."""
     base = V if V.parent is None else V.parent
+    off = getattr(base, "dof_offset", 0)
     bs = base.block_size
     mesh = base.mesh
     s_facets = meshtags.find(slave_marker)
@@ -221,13 +235,13 @@ def create_contact_slip_condition(V, meshtags: MeshTags, slave_marker, master_ma
                 masters.append(int(mb) * bs + j)
                 coeffs.append(nb[j] / nb[k] * ph)
         offsets.append(len(masters))
-    return MPCData(
+    return _shift_mpc(MPCData(
         np.asarray(slaves, np.int64),
         np.asarray(masters, np.int64),
         np.asarray(coeffs, dtype),
         np.zeros(len(masters), np.int32),
         np.asarray(offsets, np.int64),
-    )
+    ), off)
 
 
 def create_contact_inelastic_condition(V, meshtags: MeshTags, slave_marker, master_marker, eps2=1e-20, allow_missing_masters=False, dtype=np.float64):
@@ -235,6 +249,7 @@ def create_contact_inelastic_condition(V, meshtags: MeshTags, slave_marker, mast
     every component of every slave block is a slave with masters
     phi_j(x_s) per matching component."""
     base = V if V.parent is None else V.parent
+    off = getattr(base, "dof_offset", 0)
     bs = base.block_size
     mesh = base.mesh
     s_facets = meshtags.find(slave_marker)
@@ -265,13 +280,13 @@ def create_contact_inelastic_condition(V, meshtags: MeshTags, slave_marker, mast
             masters.extend((mb * bs + k).tolist())
             coeffs.extend(ph.tolist())
             offsets.append(len(masters))
-    return MPCData(
+    return _shift_mpc(MPCData(
         np.asarray(slaves, np.int64),
         np.asarray(masters, np.int64),
         np.asarray(coeffs, dtype),
         np.zeros(len(masters), np.int32),
         np.asarray(offsets, np.int64),
-    )
+    ), off)
 
 
 def create_dictionary_constraint(V, slave_master_dict, subspace_slave=None, subspace_master=None, dtype=np.float64):
@@ -279,6 +294,7 @@ def create_dictionary_constraint(V, slave_master_dict, subspace_slave=None, subs
     {slave_coord_bytes: {master_coord_bytes: coeff}}
     (reference dictcondition.py:31-233)."""
     base = V if V.parent is None else V.parent
+    off = getattr(base, "dof_offset", 0)
     bs = base.block_size
     coords = base.dof_coords_blocks
     slaves, masters, coeffs, offsets = [], [], [], [0]
@@ -302,19 +318,20 @@ def create_dictionary_constraint(V, slave_master_dict, subspace_slave=None, subs
                 masters.append(mb * bs + km)
                 coeffs.append(coeff)
             offsets.append(len(masters))
-    return MPCData(
+    return _shift_mpc(MPCData(
         np.asarray(slaves, np.int64),
         np.asarray(masters, np.int64),
         np.asarray(coeffs, dtype),
         np.zeros(len(masters), np.int32),
         np.asarray(offsets, np.int64),
-    )
+    ), off)
 
 
 def create_point_to_point_constraint(V, slave_point, master_point, vector=None, dtype=np.float64):
     """Tie the dof block nearest slave_point to basis values at master_point
     (reference mpc_utils.py:300-419); with `vector`, a directional constraint."""
     base = V if V.parent is None else V.parent
+    off = getattr(base, "dof_offset", 0)
     bs = base.block_size
     coords = base.dof_coords_blocks
     sp = np.asarray(slave_point, np.float64)[: coords.shape[1]]
@@ -345,10 +362,10 @@ def create_point_to_point_constraint(V, slave_point, master_point, vector=None, 
                     masters.append(int(m) * bs + j)
                     coeffs.append(v[j] / v[k] * p)
         offsets.append(len(masters))
-    return MPCData(
+    return _shift_mpc(MPCData(
         np.asarray(slaves, np.int64),
         np.asarray(masters, np.int64),
         np.asarray(coeffs, dtype),
         np.zeros(len(masters), np.int32),
         np.asarray(offsets, np.int64),
-    )
+    ), off)

@@ -55,6 +55,12 @@ class FunctionSpace:
     # {"r": refine factor, "gshape": refined dof-grid shape} — dof block of
     # the node at refined-grid coords (i, j, k) is (i*G1 + j)*G2 + k.
     grid_meta: Optional[dict] = None
+    # mixed-space field views: this space's dofs live at
+    # [dof_offset, dof_offset + num_dofs) of `mixed_parent`
+    # (fem/mixed.py; mirrors the reference's sub-space collapse semantics,
+    # /root/reference/cpp/PeriodicConstraint.h:525-555)
+    dof_offset: int = 0
+    mixed_parent: Optional[object] = None
     _dofmap_unrolled: Optional[np.ndarray] = field(default=None, repr=False)
 
     @property
@@ -97,6 +103,8 @@ class FunctionSpace:
             parent=self,
             component=i,
             grid_meta=self.grid_meta,
+            dof_offset=self.dof_offset,
+            mixed_parent=self.mixed_parent,
         )
 
     def collapse(self):
@@ -109,13 +117,15 @@ class FunctionSpace:
         return Vc, parent_map
 
     def unroll_blocks(self, blocks: np.ndarray) -> np.ndarray:
-        """Block indices -> unrolled dof indices.  If this is a component
-        sub-space only that component is returned."""
+        """Block indices -> unrolled dof indices (offset into the mixed
+        parent for field views).  If this is a component sub-space only that
+        component is returned."""
         blocks = np.asarray(blocks, dtype=np.int64)
         if self.component is not None:
-            return blocks * self.block_size + self.component
+            return self.dof_offset + blocks * self.block_size + self.component
         bs = self.block_size
-        return (blocks[:, None] * bs + np.arange(bs)[None, :]).reshape(-1)
+        out = (blocks[:, None] * bs + np.arange(bs)[None, :]).reshape(-1)
+        return self.dof_offset + out
 
 
 def _canonical_entity_dofs(mesh: Mesh, element: LagrangeElement):
@@ -442,13 +452,17 @@ class DirichletBC:
 
     def dof_values(self, dtype=np.float64) -> np.ndarray:
         if isinstance(self.value, Function):
-            return self.value.x.array[self.dofs].astype(dtype)
+            # a Function on a mixed field view stores field-local values;
+            # bc dofs are parent-global
+            voff = getattr(self.value.function_space, "dof_offset", 0)
+            return self.value.x.array[self.dofs - voff].astype(dtype)
         v = np.asarray(self.value, dtype=dtype)
         if v.ndim == 0:
             return np.full(len(self.dofs), v, dtype=dtype)
-        # constant vector value: broadcast per block component
+        # constant vector value: broadcast per block component (field views
+        # of a mixed space carry a dof_offset into the parent numbering)
         bs = self.V.block_size
-        comp = self.dofs % bs
+        comp = (self.dofs - self.V.dof_offset) % bs
         return v[comp]
 
 

@@ -117,15 +117,108 @@ def bicgstab(A: Callable, b, M: Callable = None, x0=None, rtol=1e-8, atol=1e-12,
 
 
 def gmres(A: Callable, b, M: Callable = None, x0=None, rtol=1e-8, atol=1e-12, max_it=1000, restart=30):
-    """Left-preconditioned restarted GMRES via jax.scipy (no iteration count —
-    we report the residual-derived estimate)."""
-    from jax.scipy.sparse.linalg import gmres as _gmres
+    """Left-preconditioned restarted GMRES(m) with Givens rotations — one
+    jitted while_loop, counted iterations and a true convergence check
+    (parity with the reference KSP surface, which reports its/rnorm for
+    every solver).  Returns (x, iterations, ||b - A x||)."""
+    if M is None:
+        M = lambda r: r
+    n = b.shape[0]
+    m = int(min(restart, max_it, n))
+    dt = b.dtype
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r0 = M(b - A(x))
+    bnorm = jnp.linalg.norm(M(b))
+    tol = jnp.maximum(rtol * bnorm, atol).astype(jnp.real(r0).dtype)
 
-    x, _ = _gmres(
-        A, b, x0=x0, tol=rtol, atol=atol, restart=restart, maxiter=max_it, M=M, solve_method="batched"
-    )
-    r = b - A(x)
-    return x, jnp.array(-1), jnp.linalg.norm(r)
+    def arnoldi_cycle(x):
+        """One GMRES(m) cycle from x: returns (x_new, res_est, n_inner)."""
+        r = M(b - A(x))
+        beta = jnp.linalg.norm(r)
+        V0 = jnp.zeros((m + 1, n), dt).at[0].set(
+            jnp.where(beta > 0, r / beta, r)
+        )
+        H0 = jnp.zeros((m + 1, m), dt)
+        cs0 = jnp.ones((m,), dt)
+        sn0 = jnp.zeros((m,), dt)
+        g0 = jnp.zeros((m + 1,), dt).at[0].set(beta.astype(dt))
+
+        def inner_cond(s):
+            V, H, cs, sn, g, j, res = s
+            return (j < m) & (res > tol)
+
+        def inner_body(s):
+            V, H, cs, sn, g, j, res = s
+            w = M(A(V[j]))
+            # modified Gram-Schmidt against rows 0..j (mask the rest)
+            mask = (jnp.arange(m + 1) <= j).astype(jnp.real(w).dtype)
+
+            def mgs(i, carry):
+                w, h = carry
+                hi = jnp.vdot(V[i], w) * mask[i]
+                return (w - hi * V[i], h.at[i].set(hi))
+
+            w, h = jax.lax.fori_loop(0, m + 1, mgs, (w, jnp.zeros((m + 1,), dt)))
+            hj1 = jnp.linalg.norm(w).astype(dt)
+            h = h.at[jnp.minimum(j + 1, m)].set(hj1)
+            V = V.at[jnp.minimum(j + 1, m)].set(
+                jnp.where(jnp.abs(hj1) > 0, w / hj1, w)
+            )
+            # apply existing Givens rotations to the new column
+            def rot(i, hcol):
+                use = (i < j).astype(jnp.real(w).dtype)
+                hi = hcol[i]
+                hi1 = hcol[i + 1]
+                new_i = cs[i] * hi + sn[i] * hi1
+                new_i1 = -jnp.conj(sn[i]) * hi + cs[i] * hi1
+                hcol = hcol.at[i].set(use * new_i + (1 - use) * hi)
+                hcol = hcol.at[i + 1].set(use * new_i1 + (1 - use) * hi1)
+                return hcol
+
+            h = jax.lax.fori_loop(0, m, rot, h)
+            # new rotation annihilating h[j+1]
+            hjj = h[j]
+            hj1v = h[jnp.minimum(j + 1, m)]
+            denom = jnp.sqrt(jnp.abs(hjj) ** 2 + jnp.abs(hj1v) ** 2)
+            c_new = jnp.where(denom > 0, jnp.abs(hjj) / denom, 1.0).astype(dt)
+            phase = jnp.where(jnp.abs(hjj) > 0, hjj / jnp.abs(hjj), 1.0).astype(dt)
+            s_new = jnp.where(denom > 0, phase * jnp.conj(hj1v) / denom, 0.0).astype(dt)
+            h = h.at[j].set(c_new * hjj + s_new * hj1v)
+            h = h.at[jnp.minimum(j + 1, m)].set(0.0)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            H = H.at[:, j].set(h)
+            gj = g[j]
+            g = g.at[j].set(c_new * gj)
+            g = g.at[jnp.minimum(j + 1, m)].set(-jnp.conj(s_new) * gj)
+            res = jnp.abs(g[jnp.minimum(j + 1, m)]).astype(jnp.real(w).dtype)
+            return (V, H, cs, sn, g, j + 1, res)
+
+        res0 = beta.astype(jnp.real(r0).dtype)
+        V, H, cs, sn, g, j, res = jax.lax.while_loop(
+            inner_cond, inner_body, (V0, H0, cs0, sn0, g0, 0, res0)
+        )
+        # back-substitution on the leading j x j triangular block (mask the
+        # inactive tail so the static m x m solve is exact for the active part)
+        act = jnp.arange(m) < j
+        Hm = jnp.where(act[None, :] & act[:, None], H[:m, :], 0.0)
+        Hm = Hm + jnp.diag(jnp.where(act, 0.0, 1.0).astype(dt))
+        y = jax.scipy.linalg.solve_triangular(Hm, jnp.where(act, g[:m], 0.0), lower=False)
+        x = x + V[:m].T @ y
+        return x, res, j
+
+    def outer_cond(s):
+        x, res, it = s
+        return (res > tol) & (it < max_it)
+
+    def outer_body(s):
+        x, res, it = s
+        x, res, j = arnoldi_cycle(x)
+        return (x, res, it + j)
+
+    res_init = jnp.linalg.norm(r0).astype(jnp.real(r0).dtype)
+    x, res, it = jax.lax.while_loop(outer_cond, outer_body, (x, res_init, 0))
+    return x, it, jnp.linalg.norm(b - A(x))
 
 
 def jacobi_preconditioner(diag):

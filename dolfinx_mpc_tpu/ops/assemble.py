@@ -287,12 +287,23 @@ def _real_dtype(dtype):
     return np.float32 if dt in (np.dtype(np.float32), np.dtype(np.complex64)) else np.float64
 
 
+def _bc_applies(bc, V) -> bool:
+    """Does this bc act on (a field view of) V?  bcs on other spaces are
+    ignored (nest blocks pass mixed-space bc lists, reference
+    assemble_matrix.py:119-146)."""
+    return (
+        bc.V is V
+        or getattr(bc.V, "mixed_parent", None) is V
+        or (bc.V.num_dofs == V.num_dofs and bc.V.mesh is V.mesh)
+    )
+
+
 def _bc_masks(V: FunctionSpace, bcs, dtype):
     """BC row/col indicator; bcs on other spaces are ignored (nest blocks
     pass mixed-space bc lists, reference assemble_matrix.py:119-146)."""
     mask = np.zeros(V.num_dofs, dtype=_real_dtype(dtype))
     for bc in bcs:
-        if bc.V is V or (bc.V.num_dofs == V.num_dofs and bc.V.mesh is V.mesh):
+        if _bc_applies(bc, V):
             mask[bc.dofs] = 1.0
     return mask
 
@@ -300,7 +311,7 @@ def _bc_masks(V: FunctionSpace, bcs, dtype):
 def _bc_values(V: FunctionSpace, bcs, dtype):
     g = np.zeros(V.num_dofs, dtype=dtype)
     for bc in bcs:
-        if bc.V is V or (bc.V.num_dofs == V.num_dofs and bc.V.mesh is V.mesh):
+        if _bc_applies(bc, V):
             g[bc.dofs] = bc.dof_values(dtype)
     return g
 

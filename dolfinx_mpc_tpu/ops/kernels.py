@@ -63,6 +63,67 @@ def _coeff_args(phi_w, dphi_w_phys, wlocal, bs):
     return vals, grads
 
 
+# ---- mixed-space support ---------------------------------------------------
+# A mixed space (fem/mixed.py) is handled as a list of fields; each local
+# basis function belongs to one field, its Arg for that field is the usual
+# value/gradient and ZERO for the others.  The integrand then receives a
+# tuple of per-field Args — e.g. Stokes:
+#   lambda (u, p), (v, q), c: inner(grad(u), grad(v)) - p*div(v) - q*div(u)
+# For ordinary spaces the field list has length 1 and a bare Arg is passed,
+# preserving the existing integrand convention.
+
+
+def _side_fields(V):
+    """[(element, bs, slot_start)], total unrolled dofs, is_mixed."""
+    if getattr(V, "is_mixed", False):
+        out, s = [], 0
+        for W in V.spaces:
+            out.append((W.element, W.block_size, s))
+            s += W.element.ndofs * W.block_size
+        return out, s, True
+    return [(V.element, V.block_size, 0)], V.element.ndofs * V.block_size, False
+
+
+def _field_tabs(fields, q):
+    return [(el.tabulate(q), el.tabulate_grad(q), bs, s0) for el, bs, s0 in fields]
+
+
+def _field_basis_args(tabs, Jinv, ND):
+    """Per-field (values, grads) arrays padded with zeros to ND local-dof
+    rows at the field's slot range.  Returns a tuple of (vals, grads)."""
+    rdt = Jinv.dtype
+    res = []
+    for phi, dphi, bs, s0 in tabs:
+        dphi_p = jnp.einsum("qit,qtg->qig", jnp.asarray(dphi, rdt), Jinv)
+        v, g = _basis_args(jnp.asarray(phi, rdt), dphi_p, bs)
+        w = v.shape[1]
+        if w != ND or s0 != 0:
+            nq = v.shape[0]
+            v = jnp.zeros((nq, ND) + v.shape[2:], v.dtype).at[:, s0 : s0 + w].set(v)
+            g = jnp.zeros((nq, ND) + g.shape[2:], g.dtype).at[:, s0 : s0 + w].set(g)
+        res.append((v, g))
+    return tuple(res)
+
+
+def _mk_arg(mixed):
+    """Pytree-of-(v,g) -> integrand argument (tuple of Args or bare Arg)."""
+    if mixed:
+        return lambda t: tuple(Arg(v, g) for v, g in t)
+    return lambda t: Arg(*t[0])
+
+
+def _coeff_field_args(tabs, Jinv, wlocal, mixed):
+    """Coefficient Args over q; tuple-of-Args pairs for mixed coefficient
+    spaces (tabs as from _field_tabs on the coefficient space's fields)."""
+    rdt = Jinv.dtype
+    parts = []
+    for phi, dphi, bs, s0 in tabs:
+        dwp = jnp.einsum("qit,qtg->qig", jnp.asarray(dphi, rdt), Jinv)
+        nd = phi.shape[1]
+        parts.append(_coeff_args(jnp.asarray(phi, rdt), dwp, wlocal[s0 : s0 + nd * bs], bs))
+    return tuple(parts) if mixed else parts[0]
+
+
 @dataclass
 class CompiledTerm:
     """A single integral term compiled to a batched element-tensor function.
@@ -130,55 +191,59 @@ def compile_term(term: FormTerm, V_test: FunctionSpace, V_trial: Optional[Functi
 def _make_cell_kernel(mesh, V_test, V_trial, integrand, q, w, coeff_names, coeff_spaces, constants, rank):
     cell_type = mesh.cell_type
     phi_g, dphi_g = geom_tabulation(cell_type, q)  # (nq, nv), (nq, nv, tdim)
-    el_t = V_test.element
-    phi_t, dphi_t = el_t.tabulate(q), el_t.tabulate_grad(q)
-    bs_t = V_test.block_size
+    fields_t, ND_t, mixed_t = _side_fields(V_test)
+    tabs_t = _field_tabs(fields_t, q)
+    mk_t = _mk_arg(mixed_t)
     if rank == 2:
-        el_s = V_trial.element
-        phi_s, dphi_s = el_s.tabulate(q), el_s.tabulate_grad(q)
-        bs_s = V_trial.block_size
-    tabs_w = [
-        (W.element.tabulate(q), W.element.tabulate_grad(q), W.block_size) for W in coeff_spaces
-    ]
+        fields_s, ND_s, mixed_s = _side_fields(V_trial)
+        tabs_s = _field_tabs(fields_s, q)
+        mk_s = _mk_arg(mixed_s)
+    tabs_w, wmixed = [], {}
+    for name, W in zip(coeff_names, coeff_spaces):
+        fw, _, wmx = _side_fields(W)
+        tabs_w.append(_field_tabs(fw, q))
+        wmixed[name] = wmx
     wq = jnp.asarray(w)
 
     def kernel_one(coords, lf_unused, wlocals):
-        J = jnp.einsum("qvt,vg->qgt", jnp.asarray(dphi_g), coords)  # (nq, gdim, tdim)
+        rdt = coords.dtype
+        J = jnp.einsum("qvt,vg->qgt", jnp.asarray(dphi_g, rdt), coords)  # (nq, gdim, tdim)
         detJ = small_det(J)
         Jinv = small_inv(J)  # (nq, tdim, gdim)
-        xq = jnp.asarray(phi_g) @ coords  # (nq, gdim)
-        scale = wq * jnp.abs(detJ)
+        xq = jnp.asarray(phi_g, rdt) @ coords  # (nq, gdim)
+        scale = wq.astype(rdt) * jnp.abs(detJ)
 
-        dphi_t_p = jnp.einsum("qit,qtg->qig", jnp.asarray(dphi_t), Jinv)
-        tv, tg = _basis_args(jnp.asarray(phi_t), dphi_t_p, bs_t)
+        targs = _field_basis_args(tabs_t, Jinv, ND_t)
         wargs = {}
-        for name, (pw, dw, bsw) in zip(coeff_names, tabs_w):
-            dwp = jnp.einsum("qit,qtg->qig", jnp.asarray(dw), Jinv)
-            wargs[name] = _coeff_args(jnp.asarray(pw), dwp, wlocals[name], bsw)
+        for name, tw in zip(coeff_names, tabs_w):
+            wargs[name] = _coeff_field_args(tw, Jinv, wlocals[name], wmixed[name])
+
+        def ctx_at(x_q, w_q):
+            wdict = {}
+            for n, a in w_q.items():
+                wdict[n] = tuple(Arg(*p) for p in a) if wmixed[n] else Arg(*a)
+            return Ctx(x_q, None, {**wdict, **constants})
 
         if rank == 1:
 
-            def at_q(tv_q, tg_q, x_q, w_q):
-                ctx = Ctx(x_q, None, {**{n: Arg(*a) for n, a in w_q.items()}, **constants})
-                return jax.vmap(lambda v, g: integrand(Arg(v, g), ctx))(tv_q, tg_q)
+            def at_q(t_q, x_q, w_q):
+                ctx = ctx_at(x_q, w_q)
+                return jax.vmap(lambda vt: integrand(mk_t(vt), ctx))(t_q)
 
-            vals = jax.vmap(at_q)(tv, tg, xq, {n: (a[0], a[1]) for n, a in wargs.items()})
+            vals = jax.vmap(at_q)(targs, xq, wargs)
             return jnp.einsum("q,qi->i", scale.astype(vals.dtype), vals)
 
-        dphi_s_p = jnp.einsum("qit,qtg->qig", jnp.asarray(dphi_s), Jinv)
-        sv, sg = _basis_args(jnp.asarray(phi_s), dphi_s_p, bs_s)
+        sargs = _field_basis_args(tabs_s, Jinv, ND_s)
 
-        def at_q(tv_q, tg_q, sv_q, sg_q, x_q, w_q):
-            ctx = Ctx(x_q, None, {**{n: Arg(*a) for n, a in w_q.items()}, **constants})
+        def at_q(t_q, s_q, x_q, w_q):
+            ctx = ctx_at(x_q, w_q)
 
-            def row(vval, vgrad):  # one test function
-                return jax.vmap(lambda uval, ugrad: integrand(Arg(uval, ugrad), Arg(vval, vgrad), ctx))(
-                    sv_q, sg_q
-                )
+            def row(vt):  # one test function (pytree of per-field (v, g))
+                return jax.vmap(lambda ut: integrand(mk_s(ut), mk_t(vt), ctx))(s_q)
 
-            return jax.vmap(row)(tv_q, tg_q)  # (ndt, nds)
+            return jax.vmap(row)(t_q)  # (ndt, nds)
 
-        vals = jax.vmap(at_q)(tv, tg, sv, sg, xq, {n: (a[0], a[1]) for n, a in wargs.items()})
+        vals = jax.vmap(at_q)(targs, sargs, xq, wargs)
         return jnp.einsum("q,qij->ij", scale.astype(vals.dtype), vals)
 
     def kernel(coords_b, lf_b, wlocals_b):
@@ -193,94 +258,95 @@ def _make_facet_kernel(mesh, V_test, V_trial, integrand, qdeg, coeff_names, coef
     fcell = cell.facet_cell
     qf, wf = quadrature_rule(fcell, qdeg)
     n_lf = len(cell.facets)
+    fields_t, ND_t, mixed_t = _side_fields(V_test)
+    mk_t = _mk_arg(mixed_t)
+    if rank == 2:
+        fields_s, ND_s, mixed_s = _side_fields(V_trial)
+        mk_s = _mk_arg(mixed_s)
+    fields_w, wmixed = [], {}
+    for name, W in zip(coeff_names, coeff_spaces):
+        fw, _, wmx = _side_fields(W)
+        fields_w.append(fw)
+        wmixed[name] = wmx
+
     # per-local-facet tabulations at the facet quadrature points mapped into
-    # the cell reference coordinates
-    phi_g_all, dphi_g_all, phi_t_all, dphi_t_all = [], [], [], []
-    phi_s_all, dphi_s_all = [], []
-    tabs_w_all = [[] for _ in coeff_spaces]
-    ref_normals = reference_facet_normals(cell_type)  # (n_lf, tdim)
-    embed = []
-    el_t = V_test.element
-    el_s = V_trial.element if V_trial is not None else None
+    # the cell reference coordinates; stacked over the local-facet axis
+    def stack_tabs(fields):
+        # [(phi (n_lf, nq, nd), dphi (n_lf, nq, nd, tdim), bs, s0)] per field
+        out = []
+        for el, bs, s0 in fields:
+            ps, ds = [], []
+            for lf in range(n_lf):
+                Xq = facet_reference_points(cell_type, lf, qf)
+                ps.append(el.tabulate(Xq))
+                ds.append(el.tabulate_grad(Xq))
+            out.append((jnp.asarray(np.stack(ps)), jnp.asarray(np.stack(ds)), bs, s0))
+        return out
+
+    phi_g_all, dphi_g_all, embed = [], [], []
     for lf in range(n_lf):
         Xq = facet_reference_points(cell_type, lf, qf)
         pg, dg = geom_tabulation(cell_type, Xq)
         phi_g_all.append(pg)
         dphi_g_all.append(dg)
-        phi_t_all.append(el_t.tabulate(Xq))
-        dphi_t_all.append(el_t.tabulate_grad(Xq))
-        if el_s is not None:
-            phi_s_all.append(el_s.tabulate(Xq))
-            dphi_s_all.append(el_s.tabulate_grad(Xq))
-        for i, W in enumerate(coeff_spaces):
-            tabs_w_all[i].append((W.element.tabulate(Xq), W.element.tabulate_grad(Xq)))
         T = facet_tangent_matrix(cell_type, lf)
         embed.append(np.sqrt(np.linalg.det(T.T @ T)) if T.size else 1.0)
-
     phi_g_all = jnp.asarray(np.stack(phi_g_all))  # (n_lf, nq, nv)
     dphi_g_all = jnp.asarray(np.stack(dphi_g_all))
-    phi_t_all = jnp.asarray(np.stack(phi_t_all))
-    dphi_t_all = jnp.asarray(np.stack(dphi_t_all))
-    if el_s is not None:
-        phi_s_all = jnp.asarray(np.stack(phi_s_all))
-        dphi_s_all = jnp.asarray(np.stack(dphi_s_all))
-    tabs_w_dev = [
-        (jnp.asarray(np.stack([t[0] for t in tw])), jnp.asarray(np.stack([t[1] for t in tw])))
-        for tw in tabs_w_all
-    ]
-    ref_normals = jnp.asarray(ref_normals)
+    tabs_t_all = stack_tabs(fields_t)
+    tabs_s_all = stack_tabs(fields_s) if rank == 2 else None
+    tabs_w_all = [stack_tabs(fw) for fw in fields_w]
+    ref_normals = jnp.asarray(reference_facet_normals(cell_type))  # (n_lf, tdim)
     embed = jnp.asarray(embed)
     wfq = jnp.asarray(wf)
-    bs_t = V_test.block_size
-    bs_s = V_trial.block_size if V_trial is not None else 1
-    bsw = [W.block_size for W in coeff_spaces]
 
     def kernel_one(coords, lf, wlocals):
-        pg = phi_g_all[lf]
-        dg = dphi_g_all[lf]
-        pt, dt = phi_t_all[lf], dphi_t_all[lf]
+        rdt = coords.dtype
+        pg = phi_g_all[lf].astype(rdt)
+        dg = dphi_g_all[lf].astype(rdt)
         J = jnp.einsum("qvt,vg->qgt", dg, coords)
         detJ = small_det(J)
         Jinv = small_inv(J)
         xq = pg @ coords
         # Nanson: n ds = detJ J^{-T} N dS_ref; measure includes the embedding
         nref = ref_normals[lf]
-        nvec = jnp.einsum("qtg,t->qg", Jinv, nref)  # J^{-T} N
+        nvec = jnp.einsum("qtg,t->qg", Jinv, nref.astype(rdt))  # J^{-T} N
         nnorm = jnp.linalg.norm(nvec, axis=1)
         normal = nvec / nnorm[:, None] * jnp.sign(detJ)[:, None]
-        scale = wfq * jnp.abs(detJ) * nnorm * embed[lf]
+        scale = wfq.astype(rdt) * jnp.abs(detJ) * nnorm * embed[lf].astype(rdt)
 
-        dphi_t_p = jnp.einsum("qit,qtg->qig", dt, Jinv)
-        tv, tg = _basis_args(pt, dphi_t_p, bs_t)
+        at_lf = lambda tabs: [(p[lf], d[lf], bs, s0) for p, d, bs, s0 in tabs]
+        targs = _field_basis_args(at_lf(tabs_t_all), Jinv, ND_t)
         wargs = {}
-        for name, (pw_all, dw_all), bw in zip(coeff_names, tabs_w_dev, bsw):
-            dwp = jnp.einsum("qit,qtg->qig", dw_all[lf], Jinv)
-            wargs[name] = _coeff_args(pw_all[lf], dwp, wlocals[name], bw)
+        for name, tw in zip(coeff_names, tabs_w_all):
+            wargs[name] = _coeff_field_args(at_lf(tw), Jinv, wlocals[name], wmixed[name])
+
+        def ctx_at(x_q, n_q, w_q):
+            wdict = {}
+            for n, a in w_q.items():
+                wdict[n] = tuple(Arg(*p) for p in a) if wmixed[n] else Arg(*a)
+            return Ctx(x_q, n_q, {**wdict, **constants})
 
         if rank == 1:
 
-            def at_q(tv_q, tg_q, x_q, n_q, w_q):
-                ctx = Ctx(x_q, n_q, {**{n: Arg(*a) for n, a in w_q.items()}, **constants})
-                return jax.vmap(lambda v, g: integrand(Arg(v, g), ctx))(tv_q, tg_q)
+            def at_q(t_q, x_q, n_q, w_q):
+                ctx = ctx_at(x_q, n_q, w_q)
+                return jax.vmap(lambda vt: integrand(mk_t(vt), ctx))(t_q)
 
-            vals = jax.vmap(at_q)(tv, tg, xq, normal, {n: (a[0], a[1]) for n, a in wargs.items()})
+            vals = jax.vmap(at_q)(targs, xq, normal, wargs)
             return jnp.einsum("q,qi->i", scale.astype(vals.dtype), vals)
 
-        ps, ds_ = phi_s_all[lf], dphi_s_all[lf]
-        dphi_s_p = jnp.einsum("qit,qtg->qig", ds_, Jinv)
-        sv, sg = _basis_args(ps, dphi_s_p, bs_s)
+        sargs = _field_basis_args(at_lf(tabs_s_all), Jinv, ND_s)
 
-        def at_q(tv_q, tg_q, sv_q, sg_q, x_q, n_q, w_q):
-            ctx = Ctx(x_q, n_q, {**{n: Arg(*a) for n, a in w_q.items()}, **constants})
+        def at_q(t_q, s_q, x_q, n_q, w_q):
+            ctx = ctx_at(x_q, n_q, w_q)
 
-            def row(vval, vgrad):
-                return jax.vmap(lambda uval, ugrad: integrand(Arg(uval, ugrad), Arg(vval, vgrad), ctx))(
-                    sv_q, sg_q
-                )
+            def row(vt):
+                return jax.vmap(lambda ut: integrand(mk_s(ut), mk_t(vt), ctx))(s_q)
 
-            return jax.vmap(row)(tv_q, tg_q)
+            return jax.vmap(row)(t_q)
 
-        vals = jax.vmap(at_q)(tv, tg, sv, sg, xq, normal, {n: (a[0], a[1]) for n, a in wargs.items()})
+        vals = jax.vmap(at_q)(targs, sargs, xq, normal, wargs)
         return jnp.einsum("q,qij->ij", scale.astype(vals.dtype), vals)
 
     def kernel(coords_b, lf_b, wlocals_b):

@@ -523,6 +523,7 @@ class CompiledLatticeForm:
         lat = get_lattice_info(mesh)
         assert lat is not None, "mesh has no lattice info (use create_box/create_rectangle)"
         assert len(form.terms) == 1 and form.terms[0].integral == "cell" and form.terms[0].entities is None
+        assert not getattr(V, "is_mixed", False), "lattice path: uniform spaces only"
         r = V.element.degree
         assert r in (1, 2), "lattice fast path supports degree 1 and 2"
         if r > 1:
@@ -967,7 +968,9 @@ class CompiledLatticeForm:
         for d in range(g):
             deltas_d = self._geo_deltas[:, :, d].T.reshape(nv, *dshape)  # (nv,1,T,1,1)
             pos = base[d][None].astype(dt) + jnp.asarray(deltas_d.astype(np.float64), dt)
-            x_d = scale * (self._origin[d] + self._spacing[d] * pos)
+            # python-float origin/spacing: numpy f64 scalars would promote
+            # the whole f32 stream to f64 under x64
+            x_d = scale * (float(self._origin[d]) + float(self._spacing[d]) * pos)
             comps.append(x_d.reshape(nv, -1))
         return jnp.stack(comps, axis=1)  # (nv, g, n_cells_or_slab)
 

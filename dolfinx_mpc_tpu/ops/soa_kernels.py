@@ -63,6 +63,8 @@ def compile_cell_kernel_soa(mesh, V_test, V_trial, term: FormTerm, dtype):
         return None
     if V_trial is None or V_trial is not V_test:
         return None  # rank-2 square forms only (the hot path)
+    if getattr(V_test, "is_mixed", False):
+        return None  # mixed spaces ride the generic kernel path
     V = V_test
     cell = mesh.ref_cell
     g = mesh.gdim

@@ -25,3 +25,21 @@ def scalar_dtype(request):
     """Mirror of the reference CI's real/complex PETSc scalar matrix
     (.github/workflows/test_mpc.yml:20-27)."""
     return request.param
+
+
+@pytest.fixture(
+    params=[np.float32, np.float64, np.complex64, np.complex128],
+    ids=["f32", "f64", "c64", "c128"],
+)
+def full_scalar_dtype(request):
+    """All four PETSc scalar types of the reference CI matrix
+    (.github/workflows/test_mpc.yml:20-27).  f32 is the actual on-chip TPU
+    dtype — tests/test_dtypes.py drives the pipeline through it with
+    dtype-appropriate tolerances."""
+    return request.param
+
+
+def dtype_tol(dtype) -> float:
+    """Oracle tolerance per scalar type (f32 kernels accumulate ~1e-5)."""
+    single = np.dtype(dtype) in (np.dtype(np.float32), np.dtype(np.complex64))
+    return 2e-4 if single else 1e-8

@@ -66,3 +66,20 @@ def test_options_from_petsc_defaults():
     assert o.ksp_type == "cg" and o.pc_type == "jacobi"
     o2 = SolverOptions.from_petsc({"pc_type": "none", "ksp_rtol": "1e-4"})
     assert o2.pc_type == "none" and o2.rtol == 1e-4
+
+
+def test_gmres_counts_iterations():
+    """The GMRES rewrite returns true iteration counts + convergence
+    (the old jax.scipy delegate returned its=-1; VERDICT weak #6)."""
+    import jax.numpy as jnp
+
+    from dolfinx_mpc_tpu.la.solvers import gmres, jacobi_preconditioner
+
+    A, b, x_ref = _system()
+    x, its, rn = gmres(
+        A.matvec, jnp.asarray(b), M=jacobi_preconditioner(A.diagonal()),
+        rtol=1e-12, restart=25, max_it=2000,
+    )
+    assert int(its) > 0
+    assert float(rn) < 1e-9 * np.linalg.norm(b) + 1e-10
+    assert np.abs(np.asarray(x) - x_ref).max() < 1e-7
