@@ -131,3 +131,115 @@ def test_point_to_point(scalar_dtype):
         dmt.assemble_matrix(a, mpc, dtype=scalar_dtype).to_scipy(),
         mpc,
     )
+
+
+def _stacked_cubes_rotated(n_bot=3, n_top=2, theta=0.3):
+    """Two non-matching unit cubes stacked at z=1, the WHOLE assembly rotated
+    so the interface normal has all-nonzero components — exercising the
+    in-block -n_i/n_s contact algebra that axis-aligned interfaces zero out
+    (reference test_cube_contact.py:163-165 uses rotated gmsh cubes for
+    exactly this).  Returns (mesh, meshtags) with tags computed BEFORE the
+    rotation (facet ids survive point transforms)."""
+    from dolfinx_mpc_tpu.fem.mesh import create_box
+    from dolfinx_mpc_tpu.utils.mpc_utils import rotation_matrix
+
+    bot = create_box((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (n_bot, n_bot, n_bot))
+    top = create_box((0.0, 0.0, 1.0), (1.0, 1.0, 2.0), (n_top, n_top, n_top))
+    pts = np.vstack([bot.points, top.points])
+    cells = np.vstack([bot.cells, top.cells + bot.num_points])
+    mesh = Mesh(pts, cells, bot.cell_type)
+
+    fverts, _, f2c = mesh.facets()
+    on_iface = np.isclose(mesh.points[fverts][:, :, 2], 1.0).all(axis=1)
+    ext = np.isin(np.arange(fverts.shape[0]), mesh.exterior_facets())
+    iface = np.flatnonzero(on_iface & ext)
+    cent_z = mesh.points[mesh.cells[f2c[iface, 0]]].mean(axis=1)[:, 2]
+    vals = np.where(cent_z > 1.0, 1, 2)  # 1 = top (slave), 2 = bottom (master)
+    mt = meshtags(mesh, 2, iface, vals)
+
+    R = rotation_matrix([1.0, 1.0, 0.0], theta)
+    mesh.points[:] = mesh.points @ R.T
+    return mesh, mt, R
+
+
+def test_contact_slip_rotated(scalar_dtype):
+    """Slip contact across a rotated non-matching interface: the slave-block
+    normal has THREE nonzero components, so every slave gets in-block
+    masters with -n_i/n_s coefficients (reference test_cube_contact.py
+    rotated case).  Oracle: K^H A K identity on the elasticity operator."""
+    from dolfinx_mpc_tpu.utils.mpc_utils import create_normal_approximation
+
+    mesh, mt, R = _stacked_cubes_rotated()
+    V = dmt.functionspace(mesh, ("Lagrange", 1, (3,)))
+    nh = create_normal_approximation(V, mt, 1)
+    mpc = dmt.MultiPointConstraint(V, dtype=scalar_dtype)
+    mpc.create_contact_slip_condition(mt, 1, 2, nh)
+    mpc.finalize()
+    assert mpc.num_local_slaves == 3 * 3  # one slip dof per interface block
+
+    # the rotated algebra is actually exercised: in-block masters (same
+    # block, other components) exist with nonzero coefficients
+    co = mpc._np_coeffs
+    ma = mpc._np_masters
+    slaves = np.asarray(mpc.slaves)
+    found_inblock = False
+    for i, s in enumerate(slaves):
+        blk = s // 3
+        inblk = (ma[i] // 3 == blk) & (np.abs(co[i]) > 1e-12) & (ma[i] != s)
+        found_inblock |= bool(inblk.any())
+    assert found_inblock, "rotation produced no in-block -n_i/n_s masters"
+
+    mu, lam = 1.0, 1.25
+
+    def elast(u, v, c):
+        return 2 * mu * inner(sym(grad(u)), sym(grad(v))) + lam * div(u) * conj(div(v))
+
+    a = dmt.BilinearForm(V, elast)
+    compare_mpc_lhs(
+        dmt.assemble_matrix(a, None, dtype=scalar_dtype).to_scipy(),
+        dmt.assemble_matrix(a, mpc, dtype=scalar_dtype).to_scipy(),
+        mpc,
+    )
+
+
+def test_contact_slip_rotated_solve():
+    """Compress the rotated stack; the constrained solve must equal the
+    dense reduced oracle and satisfy u_s·n_s = u_m·n_m at slave blocks."""
+    import scipy.sparse.linalg as spla
+
+    from dolfinx_mpc_tpu.utils import gather_transformation_matrix
+    from dolfinx_mpc_tpu.utils.mpc_utils import create_normal_approximation
+
+    mesh, mt, R = _stacked_cubes_rotated()
+    V = dmt.functionspace(mesh, ("Lagrange", 1, (3,)))
+    nh = create_normal_approximation(V, mt, 1)
+    mpc = dmt.MultiPointConstraint(V)
+    mpc.create_contact_slip_condition(mt, 1, 2, nh)
+    mpc.finalize()
+
+    def in_rot(marker):
+        return lambda x: marker(R.T @ x[:3])
+
+    bdofs = dmt.locate_dofs_geometrical(V, in_rot(lambda X: np.isclose(X[2], 0.0)))
+    bc = dmt.dirichletbc(np.zeros(3), bdofs, V)
+    tdofs = dmt.locate_dofs_geometrical(V, in_rot(lambda X: np.isclose(X[2], 2.0)))
+    g = dmt.Function(V)
+    g.interpolate(lambda x: R @ np.stack([0 * x[0], 0 * x[1], -0.05 + 0 * x[2]]))
+    bc_top = dmt.dirichletbc(g, tdofs)
+    mu, lam = 1.0, 1.25
+
+    def elast(u, v, c):
+        return 2 * mu * inner(sym(grad(u)), sym(grad(v))) + lam * div(u) * conj(div(v))
+
+    a = dmt.BilinearForm(V, elast)
+    L = dmt.LinearForm(V, lambda v, c: inner(np.zeros(3), v))
+    prob = dmt.LinearProblem(a, L, mpc, bcs=[bc, bc_top], petsc_options={"ksp_rtol": 1e-12})
+    u = prob.solve()
+
+    A = dmt.assemble_matrix(a, None, bcs=[bc, bc_top]).to_scipy()
+    b = np.asarray(dmt.assemble_vector(L, None))
+    b = np.asarray(dmt.apply_lifting(b, [a], [[bc, bc_top]], None))
+    b = np.asarray(dmt.set_bc(b, [bc, bc_top]))
+    K = gather_transformation_matrix(mpc)
+    u_ref = K @ spla.spsolve((K.T @ A @ K).tocsc(), K.T @ b)
+    assert np.abs(np.asarray(u.x.array) - u_ref).max() < 1e-8
