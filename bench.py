@@ -189,7 +189,7 @@ def main():
         kk = jnp.arange(n2, dtype=jnp.float32)[None, None, :] / n2
         u0 = (jnp.sin(np.pi * ii) * jnp.sin(np.pi * jj) * jnp.sin(2 * np.pi * kk)
               * clf._keep_grid[0]).reshape(-1)
-        b = jax.jit(A.matvec)(u0)
+        b = jax.jit(lambda A_, u: A_.matvec(u))(A, u0)
     else:
         L = dmt.LinearForm(V, lambda v, c: 4.0 * v.value)
         b = jnp.asarray(np.asarray(dmt.assemble_vector(L, mpc, dtype=np.float32)))
@@ -234,14 +234,26 @@ def main():
         log(f"GMG unavailable ({e}); Jacobi fallback")
         M = jacobi_preconditioner(A.diagonal())
 
-    @jax.jit
-    def solve(b):
-        return cg(A.matvec, b, M=M, rtol=1e-6, max_it=3000)
+    # operators as jit ARGS (pytrees), never closures: closed-over operator
+    # data becomes compile-time constants and blows the remote-compile
+    # payload limit at 10M dofs
+    from dolfinx_mpc_tpu.la.gmg import LatticeGMG as _GMG
 
-    x, its, rn = solve(b)
+    if isinstance(M, _GMG):
+        @jax.jit
+        def solve(A_, M_, b):
+            return cg(A_.matvec, b, M=M_, rtol=1e-6, max_it=3000)
+        run = lambda bb: solve(A, M, bb)
+    else:
+        @jax.jit
+        def solve(A_, b):
+            return cg(A_.matvec, b, M=M, rtol=1e-6, max_it=3000)
+        run = lambda bb: solve(A, bb)
+
+    x, its, rn = run(b)
     x.block_until_ready()
     t0 = time.time()
-    x, its, rn = solve(b * 1.000001)
+    x, its, rn = run(b * 1.000001)
     x.block_until_ready()
     t_solve = time.time() - t0
     log(f"CG solve: its={int(its)} rnorm={float(rn):.2e} time={t_solve:.3f}s "

@@ -69,6 +69,8 @@ def main(nx=16, ny=8, theta=np.pi / 7):
     b = dmt.create_vector_nest([L0, L1], [mpc, mpc_q])
     dmt.assemble_vector_nest(b, [L0, L1], [mpc, mpc_q])
     b0 = dmt.apply_lifting(b.parts[0], [a00], [[bc_in]], mpc)
+    # bc columns of the divergence block lift into the pressure rhs as well
+    b.parts[1] = dmt.apply_lifting(b.parts[1], [a10], [[bc_in]], mpc_q)
     b0 = dmt.set_bc(b0, [bc_in])
     rhs = jnp.concatenate([b0, b.parts[1]])
 

@@ -41,7 +41,7 @@ from .ops.nest import (
     create_matrix_nest,
     create_vector_nest,
 )
-from .problem import LinearProblem, NonlinearProblem
+from .problem import LinearProblem, NonlinearProblem, NonlinearProblemNest
 
 __version__ = "0.1.0"
 

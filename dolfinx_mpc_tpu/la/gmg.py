@@ -48,8 +48,14 @@ def _prolong1(c, axis):
     return out
 
 
+@jax.tree_util.register_pytree_node_class
 class LatticeGMG:
-    """Symmetric V-cycle over a list of LatticeOperators (fine -> coarse)."""
+    """Symmetric V-cycle over a list of LatticeOperators (fine -> coarse).
+
+    Registered as a pytree so it can be passed as a jit ARGUMENT: closing
+    over it would embed the full multi-GB operator hierarchy as compile-time
+    constants (the remote-compile tunnel rejects such payloads at 10M-dof
+    scale with HTTP 413)."""
 
     def __init__(self, ops, n_pre=2, n_post=2, omega=0.8, coarse_iters=30, free_masks=None):
         self.ops = ops
@@ -141,6 +147,18 @@ class LatticeGMG:
 
     def __call__(self, r):
         return self._vcycle(0, r)
+
+    def tree_flatten(self):
+        ch = (self.ops, self.free_masks, self._inv_diag)
+        aux = (self.n_pre, self.n_post, self.omega, self.coarse_iters)
+        return ch, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        obj = cls.__new__(cls)
+        obj.ops, obj.free_masks, obj._inv_diag = ch
+        obj.n_pre, obj.n_post, obj.omega, obj.coarse_iters = aux
+        return obj
 
 
 def build_gmg_hierarchy(make_compiled_form, n, n_levels, min_n=4):

@@ -24,7 +24,7 @@ from .la.solvers import SolverOptions, solve as krylov_solve
 from .multipointconstraint import MultiPointConstraint
 from .ops.assemble import apply_lifting, assemble_matrix, assemble_vector, set_bc
 
-__all__ = ["LinearProblem", "NonlinearProblem"]
+__all__ = ["LinearProblem", "NonlinearProblem", "NonlinearProblemNest"]
 
 
 class LinearProblem:
@@ -171,4 +171,113 @@ class NonlinearProblem:
             u.x.array[:] = np.asarray(uarr + du)
         if mpc is not None:
             mpc.backsubstitution(u)
+        return it, converged
+
+
+class NonlinearProblemNest:
+    """Newton solve of a BLOCK residual system F_i(u_0..u_{n-1}; v_i) = 0
+    with a per-block MPC enforced on every iterate — the MATNEST SNES path of
+    the reference (problem.py:159-350 with PETSc nest matrices;
+    demo_stokes_nonlinear_nest.py is the canonical exercise).
+
+    F: list of rank-1 Forms (row residuals); their coefficient dicts must
+       reference the unknowns by the names in `u_names`.
+    u: list of Functions (the unknowns, updated in place).
+    mpcs: one (possibly empty-finalized) MultiPointConstraint per block.
+    J: optional 2D list of bilinear Forms; J[i][j] defaults to
+       derivative(F[i], u_names[j]) when F_i depends on u_j.
+    """
+
+    def __init__(self, F, u, mpcs, bcs=None, J=None, petsc_options=None,
+                 u_names=None, rtol=1e-10, atol=1e-10, max_it=50):
+        n = len(F)
+        assert len(u) == n and len(mpcs) == n
+        for mpc in mpcs:
+            if mpc is not None and mpc.finalized is None:
+                raise RuntimeError(
+                    "The multi point constraint has to be finalized before calling initializer"
+                )
+        self._F = list(F)
+        self.u = list(u)
+        self.mpcs = list(mpcs)
+        self.bcs = bcs or []
+        self.u_names = list(u_names) if u_names is not None else [f"u{i}" for i in range(n)]
+        if J is None:
+            J = [[None] * n for _ in range(n)]
+            for i in range(n):
+                for j in range(n):
+                    if any(self.u_names[j] in t.coefficients for t in F[i].terms):
+                        J[i][j] = derivative(F[i], self.u_names[j])
+        self._J = J
+        opts = dict(petsc_options or {})
+        opts.setdefault("ksp_type", "gmres")
+        self.options = SolverOptions.from_petsc(opts)
+        self.rtol, self.atol, self.max_it = rtol, atol, max_it
+
+    def _bcs_for(self, V):
+        from .ops.assemble import _bc_applies
+
+        return [bc for bc in self.bcs if _bc_applies(bc, V)]
+
+    def solve(self):
+        """Returns (num_newton_iterations, converged)."""
+        n = len(self._F)
+        spaces = [ui.function_space for ui in self.u]
+        sizes = [V.num_dofs for V in spaces]
+        dtype = next(
+            (m.dtype for m in self.mpcs if m is not None), np.float64
+        )
+        converged = False
+        r0 = None
+        it = 0
+        for it in range(1, self.max_it + 1):
+            for mpc, ui in zip(self.mpcs, self.u):
+                if mpc is not None and mpc.num_local_slaves:
+                    mpc.homogenize(ui)
+                    mpc.backsubstitution(ui)
+            rhs_parts = []
+            for i in range(n):
+                rhs = -assemble_vector(self._F[i], self.mpcs[i], dtype=dtype)
+                for j in range(n):
+                    Jij = self._J[i][j]
+                    if Jij is None:
+                        continue
+                    bcs_j = self._bcs_for(spaces[j])
+                    if not bcs_j:
+                        continue
+                    rhs = apply_lifting(
+                        rhs, [Jij], [bcs_j], self.mpcs[i],
+                        x0=jnp.asarray(self.u[j].x.array, dtype=dtype), scale=1.0,
+                        dtype=dtype,
+                    )
+                bcs_i = self._bcs_for(spaces[i])
+                if bcs_i:
+                    rhs = set_bc(rhs, bcs_i,
+                                 x0=jnp.asarray(self.u[i].x.array, dtype=dtype),
+                                 scale=1.0)
+                rhs_parts.append(jnp.asarray(rhs))
+            rhs_all = jnp.concatenate(rhs_parts)
+            rnorm = float(jnp.linalg.norm(rhs_all))
+            if r0 is None:
+                r0 = max(rnorm, 1e-30)
+            if rnorm < self.atol or rnorm / r0 < self.rtol:
+                converged = True
+                break
+            from .ops.nest import assemble_matrix_nest, create_matrix_nest
+
+            A = create_matrix_nest(self._J, self.mpcs)
+            assemble_matrix_nest(A, self._J, self.mpcs, bcs=self.bcs)
+            du, _, _ = krylov_solve(A.matvec, rhs_all, self.options, diag=A.diagonal())
+            off = 0
+            for i in range(n):
+                dui = du[off : off + sizes[i]]
+                off += sizes[i]
+                if self.mpcs[i] is not None and self.mpcs[i].num_local_slaves:
+                    dui = self.mpcs[i].finalized.backsubstitution(dui)
+                self.u[i].x.array[:] = np.asarray(
+                    jnp.asarray(self.u[i].x.array, dtype=dtype) + dui
+                )
+        for mpc, ui in zip(self.mpcs, self.u):
+            if mpc is not None and mpc.num_local_slaves:
+                mpc.backsubstitution(ui)
         return it, converged
