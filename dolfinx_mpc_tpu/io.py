@@ -15,7 +15,7 @@ import numpy as np
 
 from .fem.mesh import Mesh, MeshTags, meshtags
 
-__all__ = ["XDMFFile", "read_gmsh"]
+__all__ = ["XDMFFile", "read_gmsh", "write_gmsh"]
 
 _XDMF_CELL = {
     "triangle": ("Triangle", 3),
@@ -191,3 +191,72 @@ def read_gmsh(path: str, cell_type: str = None):
         facet_tags = meshtags(mesh, mesh.tdim - 1, np.asarray(idx, np.int32),
                               np.asarray(vals, np.int32))
     return mesh, cell_tags, facet_tags
+
+
+def write_gmsh(path: str, mesh: Mesh, cell_tags=None, facet_tags=None):
+    """Write a Gmsh 4.1 ASCII .msh file (inverse of read_gmsh; the mesh
+    export role of the reference's create_and_export_mesh.py).
+
+    cell_tags/facet_tags: MeshTags — entities are grouped per physical tag
+    (one gmsh entity per tag, carrying that physical id).  Untagged cells go
+    to physical 0."""
+    _CELL_GMSH = {name: code for code, (name, _) in _GMSH_CELL.items()}
+    tdim = mesh.tdim
+    pts = mesh.points
+    n = pts.shape[0]
+    xyz = np.zeros((n, 3))
+    xyz[:, : pts.shape[1]] = pts
+
+    cvals = np.zeros(mesh.num_cells, np.int64)
+    if cell_tags is not None:
+        cvals[np.asarray(cell_tags.indices, np.int64)] = np.asarray(cell_tags.values, np.int64)
+    cgroups = [(int(t), np.flatnonzero(cvals == t)) for t in np.unique(cvals)]
+
+    fgroups = []
+    if facet_tags is not None:
+        fverts, _, _ = mesh.entities(tdim - 1)
+        fidx = np.asarray(facet_tags.indices, np.int64)
+        fv = np.asarray(facet_tags.values, np.int64)
+        for t in np.unique(fv):
+            fgroups.append((int(t), fverts[fidx[fv == t]]))
+
+    lines = ["$MeshFormat", "4.1 0 8", "$EndMeshFormat", "$Entities"]
+    counts = [0, 0, 0, 0]
+    counts[tdim] = len(cgroups)
+    counts[tdim - 1] = len(fgroups)
+    lines.append(" ".join(map(str, counts)))
+    lo = xyz.min(axis=0)
+    hi = xyz.max(axis=0)
+    box = f"{lo[0]} {lo[1]} {lo[2]} {hi[0]} {hi[1]} {hi[2]}"
+    ftag0 = 1
+    for k, (t, _) in enumerate(fgroups):
+        lines.append(f"{ftag0 + k} {box} 1 {t} 0")
+    ctag0 = 1
+    for k, (t, _) in enumerate(cgroups):
+        lines.append(f"{ctag0 + k} {box} 1 {t} 0")
+    lines.append("$EndEntities")
+
+    lines += ["$Nodes", f"1 {n} 1 {n}",
+              f"{tdim} {ctag0} 0 {n}"]
+    lines += [str(i + 1) for i in range(n)]
+    lines += [f"{xyz[i, 0]} {xyz[i, 1]} {xyz[i, 2]}" for i in range(n)]
+    lines.append("$EndNodes")
+
+    nblocks = len(fgroups) + len(cgroups)
+    nelems = sum(len(g[1]) for g in fgroups) + sum(len(g[1]) for g in cgroups)
+    lines += ["$Elements", f"{nblocks} {nelems} 1 {nelems}"]
+    etag = 1
+    fname = _FACET_OF[mesh.cell_type]
+    for k, (t, conn) in enumerate(fgroups):
+        lines.append(f"{tdim - 1} {ftag0 + k} {_CELL_GMSH[fname]} {len(conn)}")
+        for row in np.asarray(conn, np.int64) + 1:
+            lines.append(str(etag) + " " + " ".join(map(str, row)))
+            etag += 1
+    for k, (t, ids) in enumerate(cgroups):
+        lines.append(f"{tdim} {ctag0 + k} {_CELL_GMSH[mesh.cell_type]} {len(ids)}")
+        for row in mesh.cells[ids].astype(np.int64) + 1:
+            lines.append(str(etag) + " " + " ".join(map(str, row)))
+            etag += 1
+    lines.append("$EndElements")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -47,7 +47,8 @@ class ShardedLatticeProblem:
     """Distributed lattice Poisson-type solve over a 1D device mesh."""
 
     def __init__(self, a: Form, L: Form, mpc, bcs=None, device_mesh: Mesh = None,
-                 dtype=np.float64, rtol=1e-8, max_it=3000, diagval=1.0):
+                 dtype=np.float64, rtol=1e-8, max_it=3000, diagval=1.0,
+                 pc_type="jacobi", cheb_degree=3, cheb_power_iters=20):
         self.device_mesh = device_mesh if device_mesh is not None else make_device_mesh()
         D = int(self.device_mesh.devices.size)
         self.D = D
@@ -70,11 +71,29 @@ class ShardedLatticeProblem:
         self.vshape = (nx + 1, n1, n2)
         self.rtol, self.max_it = rtol, max_it
         self.diagval = diagval
+        self.pc_type = pc_type
+        self.cheb_degree = int(cheb_degree)
+        self.cheb_power_iters = int(cheb_power_iters)
 
-        kernel = compile_cell_kernel_soa(mesh, V, V, a.terms[0], dtype)
-        assert kernel is not None, "form not supported by the SoA kernel"
-        self.kernel = kernel
-        assert len(a.terms) == 1 and not a.terms[0].coefficients, "v1: single coefficient-free term"
+        # one SoA kernel per cell term; their element tensors sum (the
+        # reference sums integral contributions the same way).  Coefficients
+        # are packed per slab at setup (they are fixed for the solve, like
+        # the RHS).
+        assert all(t.integral == "cell" and t.entities is None for t in a.terms), (
+            "sharded lattice path: full-domain cell integrals only"
+        )
+        self.kernels = []
+        self._coeff_meta = []  # per term: list of (name, nd_w, bs_w)
+        for t in a.terms:
+            k = compile_cell_kernel_soa(mesh, V, V, t, dtype)
+            assert k is not None, "form term not supported by the SoA kernel"
+            self.kernels.append(k)
+            metas = []
+            for nme, fn in t.coefficients.items():
+                W = fn.function_space
+                metas.append((nme, W.element.ndofs, W.block_size, W, fn))
+            self._coeff_meta.append(metas)
+        self.kernel = self.kernels[0]
 
         # ---- slab partition --------------------------------------------
         nxc = -(-nx // D)  # cells per device (last padded)
@@ -106,6 +125,23 @@ class ShardedLatticeProblem:
         self._coords_sh = jnp.asarray(coords_sh)
         self._w_cell = jnp.asarray(w_cell)
         self._keep_sh = jnp.asarray(keep_sh)
+
+        # per-term, per-slab coefficient locals: (D, nd_w, bs_w, c_loc)
+        wl_sh = []
+        for metas in self._coeff_meta:
+            term_wl = {}
+            for nme, nd_w, bs_w, W, fn in metas:
+                warr = np.asarray(fn.x.array, dtype=dtype)
+                wcell = warr[W.dofmap]  # (c, nd_w*bs_w)
+                buf = np.zeros((D, nd_w, bs_w, c_loc), dtype)
+                for d in range(D):
+                    i0, i1 = d * nxc, min((d + 1) * nxc, nx)
+                    ids = cells_grid[i0:i1].reshape(-1)
+                    k = len(ids)
+                    buf[d, :, :, :k] = wcell[ids].reshape(k, nd_w, bs_w).transpose(1, 2, 0)
+                term_wl[nme] = jnp.asarray(buf)
+            wl_sh.append(term_wl)
+        self._wl_sh = wl_sh
 
         # stencil moves (same derivation as ops/lattice.py)
         from ..ops.lattice import _vertex_delta_table
@@ -276,13 +312,15 @@ class ShardedLatticeProblem:
     # ------------------------------------------------------------------
     def _build_step(self, nx, ny, nzc, n1, n2):
         D, nxc, bs, T = self.D, self.nxc, self.bs, self.T
-        kernel = self.kernel
+        kernels = self.kernels
         moves, offsets = self.moves, self.offsets
         n_off = len(offsets)
         dtype = self.dtype
         nnz_side = self.nnz_side
         loc_sz = self._loc_sz
         rtol, max_it = self.rtol, self.max_it
+        pc_type = self.pc_type
+        cheb_degree, cheb_power_iters = self.cheb_degree, self.cheb_power_iters
         diagval = jnp.asarray(self.diagval, dtype)
         fwd = [(i, (i + 1) % D) for i in range(D)]
         bwd = [(i, (i - 1) % D) for i in range(D)]
@@ -304,15 +342,18 @@ class ShardedLatticeProblem:
 
         def device_step(coords, w_cell, keep, diag_sh, b_sh, Tr_sh, sc_pos, sc_valid,
                         slot_sh, need_idx, need_w, side_sel, side_lrow, side_colp,
-                        side_vw, wpl):
+                        side_vw, wpl, wl_sh):
             sq = lambda t: jax.tree_util.tree_map(lambda x: x[0], t)
             (coords, w_cell, keep, diag_sh, b_sh, Tr_sh, sc_pos, sc_valid, slot_sh,
-             need_idx, need_w, side_sel, side_lrow, side_colp, side_vw, wpl) = sq(
+             need_idx, need_w, side_sel, side_lrow, side_colp, side_vw, wpl, wl_sh) = sq(
                 (coords, w_cell, keep, diag_sh, b_sh, Tr_sh, sc_pos, sc_valid, slot_sh,
-                 need_idx, need_w, side_sel, side_lrow, side_colp, side_vw, wpl))
+                 need_idx, need_w, side_sel, side_lrow, side_colp, side_vw, wpl, wl_sh))
 
-            # ---- assembly ------------------------------------------------
-            Ae = kernel(coords, {})  # (nd, nd, c_loc)
+            # ---- assembly: sum of all cell terms ---------------------------
+            Ae = None
+            for kern, wl_t in zip(kernels, wl_sh):
+                Ae_t = kern(coords, wl_t)  # (nd, nd, c_loc)
+                Ae = Ae_t if Ae is None else Ae + Ae_t
             Ae_bc = Ae * keep[:, None, :] * keep[None, :, :]
             Ae_st = Ae_bc * w_cell
             Ae_grid = Ae_st.reshape(nd, nd, nxc, ny, nzc, T)
@@ -400,10 +441,52 @@ class ShardedLatticeProblem:
             dflat = diag.reshape(-1)
             inv = jnp.where(dflat != 0, 1.0 / dflat, 0.0).reshape(diag.shape)
 
+            if pc_type == "chebyshev":
+                # Chebyshev-Jacobi under shard_map: lambda_max of D^-1 A by
+                # power iteration THROUGH the distributed matvec/dot; start
+                # vector built from GLOBAL plane coordinates so duplicated
+                # planes stay consistent across their two owners
+                rdt = jnp.real(jnp.zeros((), dtype)).dtype
+                me = jax.lax.axis_index(AXIS)
+                gx = (jnp.arange(nxc + 1, dtype=rdt) + (me * nxc).astype(rdt))
+                gj = jnp.arange(n1, dtype=rdt)
+                gk = jnp.arange(n2, dtype=rdt)
+                gc = jnp.arange(bs, dtype=rdt)
+                v = (jnp.sin(0.7318 * gx[:, None, None, None] + 0.1)
+                     * jnp.sin(1.129 * gj[None, :, None, None] + 0.2)
+                     * jnp.sin(1.731 * gk[None, None, :, None] + 0.3)
+                     + 0.01 * gc[None, None, None, :]).astype(dtype)
+                for _ in range(cheb_power_iters):
+                    v = inv * matvec(v)
+                    v = v / jnp.sqrt(jnp.real(dot(v, v)))
+                lmax = jnp.real(dot(v, inv * matvec(v))) * 1.1
+                lmin = 0.06 * lmax
+                theta = (lmax + lmin) / 2
+                delta = (lmax - lmin) / 2
+
+                def M(r):
+                    rr = inv * r
+                    xk = rr / theta
+                    if cheb_degree == 1:
+                        return xk
+                    res = rr - inv * matvec(xk)
+                    dk = res / theta
+                    sigma = theta / delta
+                    rho = 1.0 / sigma
+                    for _ in range(cheb_degree - 1):
+                        rho_new = 1.0 / (2 * sigma - rho)
+                        dk = rho_new * rho * dk + 2 * rho_new / delta * res
+                        xk = xk + dk
+                        res = res - inv * matvec(dk)
+                        rho = rho_new
+                    return xk
+            else:
+                M = lambda r: inv * r
+
             b = b_sh
             x = jnp.zeros_like(b)
             r = b - matvec(x)
-            z = inv * r
+            z = M(r)
             p = z
             rz = dot(r, z)
             tol2 = (rtol ** 2) * jnp.real(dot(b, b))
@@ -418,7 +501,7 @@ class ShardedLatticeProblem:
                 alpha = rz / dot(p, Ap)
                 x = x + alpha * p
                 r = r - alpha * Ap
-                z = inv * r
+                z = M(r)
                 rzn = dot(r, z)
                 p = z + (rzn / rz) * p
                 return (x, r, z, p, rzn, k + 1)
@@ -432,7 +515,7 @@ class ShardedLatticeProblem:
         smapped = jax.shard_map(
             device_step,
             mesh=self.device_mesh,
-            in_specs=(dev,) * 16,
+            in_specs=(dev,) * 16 + (dev,),  # last spec broadcasts over the wl pytree
             out_specs=(dev, rep, rep),
             check_vma=False,
         )
@@ -444,7 +527,7 @@ class ShardedLatticeProblem:
             self._coords_sh, self._w_cell, self._keep_sh, self._diag_sh, self._b_sh,
             self._Tr_sh, self._sc_pos, self._sc_valid, self._slot_sh,
             self._need_idx, self._need_w, self._side_sel, self._side_lrow,
-            self._side_colp, self._side_vw, self._wpl,
+            self._side_colp, self._side_vw, self._wpl, self._wl_sh,
         )
         # stitch slabs: device d owns planes [d*nxc, d*nxc + nxc) plus the
         # global last plane from the last device

@@ -43,3 +43,7 @@ def dtype_tol(dtype) -> float:
     """Oracle tolerance per scalar type (f32 kernels accumulate ~1e-5)."""
     single = np.dtype(dtype) in (np.dtype(np.float32), np.dtype(np.complex64))
     return 2e-4 if single else 1e-8
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running scale tests")

@@ -53,3 +53,65 @@ def test_sharded_lattice_uneven_slabs():
     u, its, rnorm = prob.solve()
     err = np.abs(u - np.asarray(ref.x.array)).max()
     assert err < 1e-9, f"err={err}"
+
+
+def test_sharded_chebyshev_cuts_iterations():
+    """Chebyshev-Jacobi under shard_map (VERDICT #6): same solution, fewer
+    outer CG iterations than plain Jacobi."""
+    V, a, L, mpc, bc = _problem_3d(8)
+    mesh8 = make_device_mesh(8)
+    pj = ShardedLatticeProblem(a, L, mpc, [bc], device_mesh=mesh8, rtol=1e-10)
+    uj, itj, _ = pj.solve()
+    pc = ShardedLatticeProblem(
+        a, L, mpc, [bc], device_mesh=mesh8, rtol=1e-10,
+        pc_type="chebyshev", cheb_degree=3,
+    )
+    uc, itc, _ = pc.solve()
+    assert np.abs(np.asarray(uj) - np.asarray(uc)).max() < 1e-7
+    assert itc < itj, (itc, itj)
+
+
+def test_sharded_multi_term_with_coefficient():
+    """Multiple cell terms + a coefficient-weighted term (the v1 single-term
+    restriction is lifted): sharded solve == single-device solve."""
+    mesh = create_unit_cube(6, 6, 6)
+    V = dmt.functionspace(mesh, ("Lagrange", 1))
+    bdofs = dmt.locate_dofs_geometrical(
+        V, lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], 1.0)
+    )
+    bc = dmt.dirichletbc(0.0, bdofs, V)
+    mpc = dmt.MultiPointConstraint(V)
+    mpc.create_periodic_constraint_geometrical(
+        V, lambda x: np.isclose(x[0], 1.0),
+        lambda x: np.stack([1.0 - x[0], x[1], x[2]]), [bc],
+    )
+    mpc.finalize()
+    w = dmt.Function(V)
+    w.interpolate(lambda x: 1.0 + 0.5 * x[0] * x[1])
+    a = dmt.BilinearForm(
+        V, lambda u, v, c: c["w"].value * inner(grad(u), grad(v)),
+        coefficients={"w": w}, quad_degree=2,
+    ) + dmt.BilinearForm(V, lambda u, v, c: inner(u, v), quad_degree=2)
+    L = dmt.LinearForm(V, lambda v, c: 4.0 * v.value)
+    ref = dmt.LinearProblem(a, L, mpc, bcs=[bc], petsc_options={"ksp_rtol": 1e-12}).solve()
+    prob = ShardedLatticeProblem(a, L, mpc, [bc], device_mesh=make_device_mesh(8), rtol=1e-12)
+    u, its, rn = prob.solve()
+    assert its > 0
+    assert np.abs(np.asarray(u) - np.asarray(ref.x.array)).max() < 1e-8
+
+
+@pytest.mark.slow
+def test_sharded_million_dofs():
+    """~1.1M dofs (n=102) on the 8-device CPU mesh: sharded Chebyshev-CG
+    matches the single-device GMG-CG solve (VERDICT #6 scale target)."""
+    n = 102
+    V, a, L, mpc, bc = _problem_3d(n)
+    from dolfinx_mpc_tpu.ops.lattice import assemble_matrix_lattice
+    ref = dmt.LinearProblem(a, L, mpc, bcs=[bc], petsc_options={"ksp_rtol": 1e-11}).solve()
+    prob = ShardedLatticeProblem(
+        a, L, mpc, [bc], device_mesh=make_device_mesh(8), rtol=1e-11,
+        pc_type="chebyshev", cheb_degree=4,
+    )
+    u, its, rn = prob.solve()
+    assert np.isfinite(np.asarray(u)).all() and its > 0
+    assert np.abs(np.asarray(u) - np.asarray(ref.x.array)).max() < 1e-7
