@@ -48,3 +48,43 @@ def test_gmg_beats_jacobi_and_scales():
         assert itg < itj / 3, f"n={n}: GMG {itg} vs Jacobi {itj}"
     # near-mesh-independence: allow mild growth only
     assert its[32][1] <= its[16][1] * 1.8, its
+
+
+def _make_deg(n, degree):
+    mesh = create_unit_cube(n, n, n)
+    V = dmt.functionspace(mesh, ("Lagrange", degree))
+    bdofs = dmt.locate_dofs_geometrical(
+        V, lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], 1.0)
+    )
+    bc = dmt.dirichletbc(0.0, bdofs, V)
+    mpc = dmt.MultiPointConstraint(V)
+    mpc.create_periodic_constraint_geometrical(
+        V, lambda x: np.isclose(x[0], 1.0),
+        lambda x: np.stack([1.0 - x[0], x[1], x[2]]), [bc],
+    )
+    mpc.finalize()
+    a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)), quad_degree=degree)
+    return assemble_matrix_lattice(a, mpc, bcs=[bc], side_format="fold"), V
+
+
+def test_gmg_p2_hierarchy():
+    """Degree-2 hierarchy: the refined dof grids still nest (fine = 2*coarse
+    - 1 per axis), so the same transfer operators apply; iteration counts
+    stay bounded across n."""
+    import jax.numpy as jnp
+
+    its = {}
+    for n in (8, 16):
+        clf, V = _make_deg(n, 2)
+        ops, masks = build_gmg_hierarchy(lambda m: _make_deg(m, 2)[0], n, 3, min_n=4)
+        assert len(ops) >= 2
+        A = ops[0]
+        b = jnp.asarray(np.random.default_rng(1).standard_normal(V.num_dofs))
+        xj, itj, _ = cg(A.matvec, b, M=jacobi_preconditioner(A.diagonal()), rtol=1e-10, max_it=5000)
+        M = LatticeGMG(ops, free_masks=masks)
+        xg, itg, _ = cg(A.matvec, b, M=M, rtol=1e-10, max_it=5000)
+        assert np.abs(np.asarray(xj) - np.asarray(xg)).max() < 1e-6
+        its[n] = (int(itj), int(itg))
+    for n, (itj, itg) in its.items():
+        assert itg < itj / 2, f"n={n}: GMG {itg} vs Jacobi {itj}"
+    assert its[16][1] <= max(its[8][1] * 2, 40), its
