@@ -122,14 +122,16 @@ def main():
     f = clf._assemble
     dv = jnp.asarray(1.0, jnp.float32)
     if clf._lean:
-        # lean fold: assembly is f(jitter, diagval) — coords synthesized on
-        # device; vary the jitter per chain step to defeat CSE/caching while
-        # keeping real per-cell geometry work in the kernel
+        # lean fold: assembly is f(jitter, diagval, keep_grid) — coords
+        # synthesized on device; vary the jitter per chain step to defeat
+        # CSE/caching while keeping real per-cell geometry work in the kernel
+        keepg = clf._keep_grid
+
         def make_chain(k):
             @jax.jit
             def chain(j0):
                 def body(i, acc):
-                    r = f(j0 + 1e-7 * i.astype(jnp.float32), dv)
+                    r = f(j0 + 1e-7 * i.astype(jnp.float32), dv, keepg)
                     return acc + r.dia.data.ravel()[0]
                 return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
             return chain

@@ -974,13 +974,16 @@ class CompiledLatticeForm:
             comps.append(x_d.reshape(nv, -1))
         return jnp.stack(comps, axis=1)  # (nv, g, n_cells_or_slab)
 
-    def _zero_bc_on_grid(self, data):
+    def _zero_bc_on_grid(self, data, keep_grid):
         """Zero bc rows/cols directly on the DIA data: entry (r, r+off) dies
         iff r or r+off is a bc dof — identical to element-level masking but
-        O(n_off * grid) instead of O(nd^2 * cells)."""
+        O(n_off * grid) instead of O(nd^2 * cells).  `keep_grid` is a traced
+        ARGUMENT: as a closed-over constant XLA folds its broadcast/pad
+        chains into per-offset literals with a pathological size-1-minor
+        layout (632 MB each at P2 n=54 — 128x padding)."""
         if self._bc_dofs_grid.shape[0] == 0:
             return data
-        kb = self._keep_grid.astype(data.dtype)  # (bs, n0, n1, n2)
+        kb = keep_grid.astype(data.dtype)  # (bs, n0, n1, n2)
         n0, n1, n2 = self.vshape
         shifted = []
         for (di, dj, dk) in self.offsets:
@@ -1012,7 +1015,7 @@ class CompiledLatticeForm:
             data = data.at[zid, ci, ci].add(dg[:, :, :, ci])
         return data
 
-    def _assemble_fold_lean(self, jitter, diagval):
+    def _assemble_fold_lean(self, jitter, diagval, keep_grid):
         lat = self.lat
         nx, ny, nz_ = lat.dims
         n0, n1, n2 = self.vshape
@@ -1027,7 +1030,7 @@ class CompiledLatticeForm:
             lambda tab, ci, cj: sum(Ae_grid[a * bs + ci, b * bs + cj, t] for t, a, b in tab),
             (nx, ny, nzc), (n0, n1, n2), Ae.dtype,
         )
-        data = self._zero_bc_on_grid(data)
+        data = self._zero_bc_on_grid(data, keep_grid)
         data = self._diag_adds(data, diagval)
         dia = DIAMatrix(data, self.offsets, self.vshape, bs)
         return LatticeOperator(
@@ -1035,7 +1038,7 @@ class CompiledLatticeForm:
             diagval=diagval, fold_axis=self._fold_axis, fold_mask=self._fold_mask,
         )
 
-    def _assemble_fold_lean_chunked(self, jitter, diagval):
+    def _assemble_fold_lean_chunked(self, jitter, diagval, keep_grid):
         """Memory-bounded lean assembly: fori_loop over x-slabs with
         device-synthesized slab coordinates (10M-dof scale: nothing of
         O(cells) ever exists on host OR in a single device buffer)."""
@@ -1073,7 +1076,7 @@ class CompiledLatticeForm:
         data = jax.lax.fori_loop(
             0, NC, body, jnp.zeros((len(self.offsets), bs, bs, n0, n1, n2), out_dt)
         )
-        data = self._zero_bc_on_grid(data)
+        data = self._zero_bc_on_grid(data, keep_grid)
         data = self._diag_adds(data, diagval)
         dia = DIAMatrix(data, self.offsets, self.vshape, bs)
         return LatticeOperator(
@@ -1086,6 +1089,7 @@ class CompiledLatticeForm:
             op = self._assemble(
                 jnp.asarray(0.0, _real_dtype(self.dtype)),
                 jnp.asarray(self.diagval, self.dtype),
+                self._keep_grid,
             )
             op.fold_pairs = self._fold_pairs
             return op

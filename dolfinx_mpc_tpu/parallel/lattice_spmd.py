@@ -274,6 +274,17 @@ class ShardedLatticeProblem:
         self._side_colp = jnp.asarray(side_colp)
         self._side_vw = jnp.asarray(side_vw)
         self._loc_sz = loc_sz
+        # diagonal side entries (row == col): their values must join the
+        # Jacobi/Chebyshev diagonal — the MPC folds master-master stiffness
+        # into the side matrix, and ignoring it under-scales every row on
+        # the periodic plane (measured 242 vs 37 CG its at n=48)
+        is_diag = (pattern.row_ids == pattern.indices)
+        side_diag_w = np.zeros((D, max_rows), _real_dtype(dtype))
+        for d in range(D):
+            sel = per_dev[d]
+            k = len(sel)
+            side_diag_w[d, :k] = is_diag[sel].astype(_real_dtype(dtype))
+        self._side_diag_w = jnp.asarray(side_diag_w)
 
         # plane weights for dots: shared plane counted by the LEFT owner
         wpl = np.ones((D, nxc + 1), _real_dtype(dtype))
@@ -342,12 +353,14 @@ class ShardedLatticeProblem:
 
         def device_step(coords, w_cell, keep, diag_sh, b_sh, Tr_sh, sc_pos, sc_valid,
                         slot_sh, need_idx, need_w, side_sel, side_lrow, side_colp,
-                        side_vw, wpl, wl_sh):
+                        side_vw, wpl, side_diag_w, wl_sh):
             sq = lambda t: jax.tree_util.tree_map(lambda x: x[0], t)
             (coords, w_cell, keep, diag_sh, b_sh, Tr_sh, sc_pos, sc_valid, slot_sh,
-             need_idx, need_w, side_sel, side_lrow, side_colp, side_vw, wpl, wl_sh) = sq(
+             need_idx, need_w, side_sel, side_lrow, side_colp, side_vw, wpl,
+             side_diag_w, wl_sh) = sq(
                 (coords, w_cell, keep, diag_sh, b_sh, Tr_sh, sc_pos, sc_valid, slot_sh,
-                 need_idx, need_w, side_sel, side_lrow, side_colp, side_vw, wpl, wl_sh))
+                 need_idx, need_w, side_sel, side_lrow, side_colp, side_vw, wpl,
+                 side_diag_w, wl_sh))
 
             # ---- assembly: sum of all cell terms ---------------------------
             Ae = None
@@ -428,38 +441,30 @@ class ShardedLatticeProblem:
                     jnp.sum(wpl[:, None, None, None].astype(u.dtype) * jnp.conj(u) * v), AXIS
                 )
 
-            # Jacobi diag
+            # Jacobi diag: stencil + bc diagonal PLUS the side-matrix
+            # diagonal (MPC master-master terms; slave rows get diagval)
             diag = jnp.zeros((nxc + 1, n1, n2, bs), dtype)
             zoff = offsets.index((0, 0, 0))
             for ci in range(bs):
                 diag = diag.at[:, :, :, ci].set(data[zoff, ci, ci])
-            # Jacobi uses the stencil + bc diagonal only; side (MPC) diagonal
-            # terms are omitted — preconditioner quality, not correctness.
-            # Slave rows have zero stencil diagonal -> inv = 0 there, which
-            # freezes them at x = 0 = b/diagval, exactly the reduced system's
-            # slave-row solution.
+            if nnz_side:
+                sd = side[side_sel] * side_diag_w.astype(dtype)
+                diag = (diag.reshape(-1).at[side_lrow].add(sd)).reshape(diag.shape)
             dflat = diag.reshape(-1)
             inv = jnp.where(dflat != 0, 1.0 / dflat, 0.0).reshape(diag.shape)
 
             if pc_type == "chebyshev":
-                # Chebyshev-Jacobi under shard_map: lambda_max of D^-1 A by
-                # power iteration THROUGH the distributed matvec/dot; start
-                # vector built from GLOBAL plane coordinates so duplicated
-                # planes stay consistent across their two owners
+                # Chebyshev-Jacobi under shard_map.  lambda_max of D^-1 A via
+                # the GERSHGORIN bound max_i sum_j|a_ij| / d_i — a safe,
+                # deterministic OVERestimate computed in one pass over the
+                # local DIA data + a pmax.  (Power iteration underestimates
+                # at scale, which makes the Chebyshev polynomial AMPLIFY the
+                # untargeted top modes — measured 2584 CG its at 389k dofs.)
                 rdt = jnp.real(jnp.zeros((), dtype)).dtype
-                me = jax.lax.axis_index(AXIS)
-                gx = (jnp.arange(nxc + 1, dtype=rdt) + (me * nxc).astype(rdt))
-                gj = jnp.arange(n1, dtype=rdt)
-                gk = jnp.arange(n2, dtype=rdt)
-                gc = jnp.arange(bs, dtype=rdt)
-                v = (jnp.sin(0.7318 * gx[:, None, None, None] + 0.1)
-                     * jnp.sin(1.129 * gj[None, :, None, None] + 0.2)
-                     * jnp.sin(1.731 * gk[None, None, :, None] + 0.3)
-                     + 0.01 * gc[None, None, None, :]).astype(dtype)
-                for _ in range(cheb_power_iters):
-                    v = inv * matvec(v)
-                    v = v / jnp.sqrt(jnp.real(dot(v, v)))
-                lmax = jnp.real(dot(v, inv * matvec(v))) * 1.1
+                rowsum = jnp.abs(data).sum(axis=(0, 2))  # (bs, nxc+1, n1, n2)
+                dpos = jnp.moveaxis(jnp.abs(diag), -1, 0)  # (bs, nxc+1, n1, n2)
+                ratio = jnp.where(dpos > 0, rowsum / jnp.maximum(dpos, 1e-30), 0.0)
+                lmax = jax.lax.pmax(jnp.max(ratio).astype(rdt), AXIS) * 1.05
                 lmin = 0.06 * lmax
                 theta = (lmax + lmin) / 2
                 delta = (lmax - lmin) / 2
@@ -515,7 +520,7 @@ class ShardedLatticeProblem:
         smapped = jax.shard_map(
             device_step,
             mesh=self.device_mesh,
-            in_specs=(dev,) * 16 + (dev,),  # last spec broadcasts over the wl pytree
+            in_specs=(dev,) * 17 + (dev,),  # last spec broadcasts over the wl pytree
             out_specs=(dev, rep, rep),
             check_vma=False,
         )
@@ -527,7 +532,8 @@ class ShardedLatticeProblem:
             self._coords_sh, self._w_cell, self._keep_sh, self._diag_sh, self._b_sh,
             self._Tr_sh, self._sc_pos, self._sc_valid, self._slot_sh,
             self._need_idx, self._need_w, self._side_sel, self._side_lrow,
-            self._side_colp, self._side_vw, self._wpl, self._wl_sh,
+            self._side_colp, self._side_vw, self._wpl, self._side_diag_w,
+            self._wl_sh,
         )
         # stitch slabs: device d owns planes [d*nxc, d*nxc + nxc) plus the
         # global last plane from the last device

@@ -84,7 +84,7 @@ measure("synth_coords", lambda j: clf._synth_coords(j, "tmajor").ravel()[0])
 # 2. element kernel on synthesized coords
 measure("kernel (Ae)", lambda j: clf.kernel_soa(clf._synth_coords(j, "tmajor"), {}).ravel()[0])
 # 3. full lean assembly
-measure("full assembly", lambda j: clf._assemble(j, dv).dia.data.ravel()[0])
+measure("full assembly", lambda j: clf._assemble(j, dv, clf._keep_grid).dia.data.ravel()[0])
 # 4. matvec on the assembled operator
 A = clf.assemble()
 x0 = jnp.ones((V.num_dofs,), jnp.float32)
