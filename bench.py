@@ -128,13 +128,16 @@ def main():
         keepg = clf._keep_grid
 
         def make_chain(k):
+            # keep_grid must be an ARGUMENT of the jitted chain: closed over,
+            # XLA constant-folds its broadcast/pad chains into 632MB padded
+            # literals (P2 n=54 OOM)
             @jax.jit
-            def chain(j0):
+            def chain(j0, kg):
                 def body(i, acc):
-                    r = f(j0 + 1e-7 * i.astype(jnp.float32), dv, keepg)
+                    r = f(j0 + 1e-7 * i.astype(jnp.float32), dv, kg)
                     return acc + r.dia.data.ravel()[0]
                 return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
-            return chain
+            return lambda c: chain(c, keepg)
 
         coords = jnp.zeros((), jnp.float32)
     else:

@@ -603,6 +603,18 @@ class CompiledLatticeForm:
                     self._assemble = jax.jit(self._assemble_fold_lean_chunked)
                 else:
                     self._assemble = jax.jit(self._assemble_fold_lean)
+                    # fused pallas assembler (flagship P1 config): fuses
+                    # coords -> Ae -> stencil -> bc-mask into one HBM pass;
+                    # opt-in with DMT_PALLAS=1 until TPU-measured by default
+                    import os as _os
+
+                    from .pallas_lattice import make_lean_fold_pallas, pallas_supported
+
+                    if (pallas_supported(self)
+                            and jax.default_backend() not in ("cpu",)
+                            and _os.environ.get("DMT_PALLAS")):
+                        self._pallas_raw = make_lean_fold_pallas(self)
+                        self._assemble = jax.jit(self._assemble_fold_lean_pallas)
                 return
 
         self._wdofmaps = {
@@ -985,8 +997,13 @@ class CompiledLatticeForm:
             return data
         kb = keep_grid.astype(data.dtype)  # (bs, n0, n1, n2)
         n0, n1, n2 = self.vshape
-        shifted = []
-        for (di, dj, dk) in self.offsets:
+        bs = self.bs
+        # pure 3-D elementwise ops: broadcasting with size-1 axes
+        # (kb[None,:,None] * kcols[:,None]) makes XLA pick layouts with a
+        # size-1 minor dim -> T(1,128) tiling pads every temp 128x (632 MB
+        # buffers at P2 n=54)
+        rows = []
+        for d, (di, dj, dk) in enumerate(self.offsets):
             src = (
                 slice(None),
                 slice(max(di, 0), n0 + min(di, 0)),
@@ -999,9 +1016,11 @@ class CompiledLatticeForm:
                 (max(-dj, 0), max(dj, 0)),
                 (max(-dk, 0), max(dk, 0)),
             )
-            shifted.append(jnp.pad(kb[src], pad))
-        kcols = jnp.stack(shifted)  # (n_off, bs, n0, n1, n2)
-        return data * kb[None, :, None] * kcols[:, None]
+            kcol = jnp.pad(kb[src], pad)  # (bs, n0, n1, n2)
+            for ci in range(bs):
+                for cj in range(bs):
+                    rows.append(data[d, ci, cj] * kb[ci] * kcol[cj])
+        return jnp.stack(rows).reshape(data.shape)
 
     def _diag_adds(self, data, diagval):
         """Add diagval on Dirichlet diagonals (surface-sized scatter)."""
@@ -1035,6 +1054,20 @@ class CompiledLatticeForm:
         dia = DIAMatrix(data, self.offsets, self.vshape, bs)
         return LatticeOperator(
             dia, jnp.zeros((0,), Ae.dtype), None, None, self.V.num_dofs,
+            diagval=diagval, fold_axis=self._fold_axis, fold_mask=self._fold_mask,
+        )
+
+    def _assemble_fold_lean_pallas(self, jitter, diagval, keep_grid):
+        """Same contract as _assemble_fold_lean, via the fused pallas kernel
+        (ops/pallas_lattice.py; verified entry-identical in
+        tests/test_pallas_lattice.py)."""
+        kp = jnp.pad(keep_grid[0].astype(jnp.float32), ((1, 1), (0, 0), (0, 0)))
+        data = self._pallas_raw(jitter, kp)  # (n_off, n0, n1, n2)
+        data = data[:, None, None]
+        data = self._diag_adds(data, diagval)
+        dia = DIAMatrix(data, self.offsets, self.vshape, self.bs)
+        return LatticeOperator(
+            dia, jnp.zeros((0,), data.dtype), None, None, self.V.num_dofs,
             diagval=diagval, fold_axis=self._fold_axis, fold_mask=self._fold_mask,
         )
 

@@ -1,0 +1,180 @@
+"""Pallas TPU kernel for the lean fold assembly (P1 tets, scalar space).
+
+The XLA lean path is element-kernel-bound: the SoA kernel materializes
+(nd, nd, n_cells) element tensors and ~60 per-(offset, corner) grid
+intermediates in HBM (measured 1.9 ms of the 1.96 ms total at n=64 — the
+DIA data write-roofline is 0.02 ms).  This kernel fuses the whole pipeline —
+coordinate synthesis -> per-cell Jacobian/cofactor pullback -> element
+tensor -> stencil accumulation -> BC row/col masking — into ONE pass that
+only writes the final DIA data: one grid program per output x-plane, all
+per-cell work as (ny, nz) VPU lane arithmetic in VMEM.
+
+Plane p of the DIA data receives contributions from box planes p-1 (moves
+with corner delta da_x = 1) and p (da_x = 0); both are recomputed locally so
+programs write DISJOINT output blocks (recompute is ~600 flop/box — free on
+the VPU next to the HBM write).
+
+Mirrors the semantics of ops/lattice.py:_assemble_fold_lean exactly
+(verified entry-identical in tests/test_pallas_lattice.py); the reference
+behavior being replaced is the per-cell assembly loop of
+/root/reference/cpp/assemble_matrix.cpp:488-547.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["make_lean_fold_pallas", "pallas_supported"]
+
+
+def pallas_supported(clf) -> bool:
+    """The v1 kernel covers the flagship config: 3D P1 scalar lean fold."""
+    return (
+        clf._lean
+        and clf.bs == 1
+        and clf.refine == 1
+        and clf.mesh.tdim == 3
+        and clf.x_chunks == 1
+        and np.dtype(clf.dtype) == np.float32
+    )
+
+
+def make_lean_fold_pallas(clf, interpret=False):
+    """Build assemble(jitter, keep_padded) -> data (n_off, n0, n1, n2).
+
+    keep_padded: (n0 + 2, n1, n2) f32 — the (1 - bc_mask) grid padded with a
+    zero plane on each side (so the kernel reads col-keep planes p-1..p+1
+    without bounds logic)."""
+    lat = clf.lat
+    nx, ny, nz = lat.dims
+    n0, n1, n2 = clf.vshape
+    offsets = clf.offsets
+    n_off = len(offsets)
+    geo = clf._geo_deltas  # (T, 4, 3) vertex deltas
+    T = geo.shape[0]
+    origin = tuple(float(v) for v in clf._origin)
+    spacing = tuple(float(v) for v in clf._spacing)
+
+    # group moves by the x component of the corner delta; each entry carries
+    # the (j, k) target offsets and the (t, a, b) element-tensor index
+    by_dax = {0: [], 1: []}
+    for t, a, b, oid, (dax, day, daz) in clf.moves:
+        by_dax[dax].append((t, a, b, oid, day, daz))
+
+    def kernel(jit_ref, kl_ref, km_ref, kh_ref, out_ref):
+        p = pl.program_id(0)
+        s = 1.0 + jit_ref[0, 0]
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        # lane coordinate grids over the (ny, nz) boxes of one plane
+        jj = jax.lax.broadcasted_iota(jnp.float32, (ny, nz), 0)
+        kk = jax.lax.broadcasted_iota(jnp.float32, (ny, nz), 1)
+
+        def plane_contribution(q, moves_list, w):
+            # per-cell geometry pipeline for box plane q (same arithmetic as
+            # the SoA kernel: coords -> J -> cofactors -> pulled-back
+            # gradients -> Ae), all as (ny, nz) lane arrays
+            qf = q.astype(jnp.float32)
+            for t in range(T):
+                verts = []
+                for v in range(4):
+                    dx, dy, dz = (float(geo[t, v, d]) for d in range(3))
+                    verts.append((
+                        s * (origin[0] + spacing[0] * (qf + dx)),
+                        s * (origin[1] + spacing[1] * (jj + dy)),
+                        s * (origin[2] + spacing[2] * (kk + dz)),
+                    ))
+                J = [[verts[a_ + 1][d] - verts[0][d] for a_ in range(3)] for d in range(3)]
+                cof = [[None] * 3 for _ in range(3)]
+                cof[0][0] = J[1][1] * J[2][2] - J[1][2] * J[2][1]
+                cof[0][1] = J[1][2] * J[2][0] - J[1][0] * J[2][2]
+                cof[0][2] = J[1][0] * J[2][1] - J[1][1] * J[2][0]
+                cof[1][0] = J[0][2] * J[2][1] - J[0][1] * J[2][2]
+                cof[1][1] = J[0][0] * J[2][2] - J[0][2] * J[2][0]
+                cof[1][2] = J[0][1] * J[2][0] - J[0][0] * J[2][1]
+                cof[2][0] = J[0][1] * J[1][2] - J[0][2] * J[1][1]
+                cof[2][1] = J[0][2] * J[1][0] - J[0][0] * J[1][2]
+                cof[2][2] = J[0][0] * J[1][1] - J[0][1] * J[1][0]
+                det = J[0][0] * cof[0][0] + J[0][1] * cof[0][1] + J[0][2] * cof[0][2]
+                inv_det = 1.0 / det
+                g = [[None] * 3 for _ in range(4)]
+                for d in range(3):
+                    g[1][d] = cof[d][0] * inv_det
+                    g[2][d] = cof[d][1] * inv_det
+                    g[3][d] = cof[d][2] * inv_det
+                    g[0][d] = -(g[1][d] + g[2][d] + g[3][d])
+                vol = jnp.abs(det) * (1.0 / 6.0)
+                # accumulate this tet's moves targeting the current plane
+                for tt, a_, b_, oid, day, daz in moves_list:
+                    if tt != t:
+                        continue
+                    ae = w * vol * (
+                        g[a_][0] * g[b_][0] + g[a_][1] * g[b_][1] + g[a_][2] * g[b_][2]
+                    )
+                    out_ref[oid, 0, day : day + ny, daz : daz + nz] += ae
+
+        # box plane p-1 contributes through da_x = 1 moves; plane p through
+        # da_x = 0.  Edge planes get weight 0 (their boxes don't exist).
+        w_lo = jnp.where(p >= 1, 1.0, 0.0)
+        w_hi = jnp.where(p <= nx - 1, 1.0, 0.0)
+        plane_contribution(jnp.maximum(p - 1, 0), by_dax[1], w_lo)
+        plane_contribution(jnp.minimum(p, nx - 1), by_dax[0], w_hi)
+
+        # BC row/col masking on the finished plane: entry (r, r+off) dies iff
+        # r or r+off is a bc dof (identical to _zero_bc_on_grid).  The three
+        # keep inputs are the SAME padded grid shifted by -1/0/+1 planes
+        # (BlockSpec index maps are block-granule, so an overlapping 3-plane
+        # window cannot be expressed on one input).
+        krow = km_ref[0]  # (n1, n2): keep plane p
+        kplanes = {-1: kl_ref, 0: km_ref, 1: kh_ref}
+        for d, (di, dj, dk) in enumerate(offsets):
+            kc_plane = kplanes[di][0]  # col plane p + di
+            dst = (
+                slice(max(-dj, 0), n1 - max(dj, 0)),
+                slice(max(-dk, 0), n2 - max(dk, 0)),
+            )
+            src = (
+                slice(max(dj, 0), n1 + min(dj, 0)),
+                slice(max(dk, 0), n2 + min(dk, 0)),
+            )
+            pad = (
+                (max(-dj, 0), max(dj, 0)),
+                (max(-dk, 0), max(dk, 0)),
+            )
+            kcol = jnp.pad(kc_plane[src], pad)
+            out_ref[d, 0] *= krow * kcol
+
+    plane_spec = pl.BlockSpec((1, n1, n2), lambda p: (p, 0, 0), memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(n0,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda p: (0, 0), memory_space=pltpu.SMEM),
+            plane_spec,
+            plane_spec,
+            plane_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (n_off, 1, n1, n2), lambda p: (0, p, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_off, n0, n1, n2), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+
+    def assemble(jitter, keep_padded):
+        # keep_padded: (n0 + 2, n1, n2); plane p of the three views is the
+        # col-keep plane p-1 / p / p+1 respectively
+        kl = keep_padded[0:n0]
+        km = keep_padded[1 : 1 + n0]
+        kh = keep_padded[2 : 2 + n0]
+        return call(jnp.asarray(jitter, jnp.float32).reshape(1, 1), kl, km, kh)
+
+    return assemble

@@ -49,27 +49,29 @@ dv = jnp.asarray(1.0, jnp.float32)
 
 
 def chain(fn, k):
+    # operators/masks reach fn via the extra args (jit ARGS, not closures —
+    # closed-over arrays get constant-folded into padded literals)
     @jax.jit
-    def c(j0):
+    def c(j0, *extra):
         def body(i, acc):
-            r = fn(j0 + 1e-7 * i.astype(jnp.float32))
+            r = fn(j0 + 1e-7 * i.astype(jnp.float32), *extra)
             return acc + r
         return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
     return c
 
 
-def measure(name, fn):
+def measure(name, fn, *extra):
     c1, cK = chain(fn, 1), chain(fn, K)
     t0 = time.time()
-    c1(jnp.zeros((), jnp.float32)).block_until_ready()
-    cK(jnp.zeros((), jnp.float32)).block_until_ready()
+    c1(jnp.zeros((), jnp.float32), *extra).block_until_ready()
+    cK(jnp.zeros((), jnp.float32), *extra).block_until_ready()
     tc = time.time() - t0
 
     def best(c):
         ts = []
         for _ in range(5):
             t0 = time.time()
-            c(jnp.zeros((), jnp.float32)).block_until_ready()
+            c(jnp.zeros((), jnp.float32), *extra).block_until_ready()
             ts.append(time.time() - t0)
         return min(ts)
 
@@ -84,11 +86,12 @@ measure("synth_coords", lambda j: clf._synth_coords(j, "tmajor").ravel()[0])
 # 2. element kernel on synthesized coords
 measure("kernel (Ae)", lambda j: clf.kernel_soa(clf._synth_coords(j, "tmajor"), {}).ravel()[0])
 # 3. full lean assembly
-measure("full assembly", lambda j: clf._assemble(j, dv, clf._keep_grid).dia.data.ravel()[0])
+measure("full assembly", lambda j, kg: clf._assemble(j, dv, kg).dia.data.ravel()[0],
+        clf._keep_grid)
 # 4. matvec on the assembled operator
 A = clf.assemble()
 x0 = jnp.ones((V.num_dofs,), jnp.float32)
-measure("matvec", lambda j: A.matvec(x0 * (1.0 + j)).ravel()[0])
+measure("matvec", lambda j, A_: A_.matvec(x0 * (1.0 + j)).ravel()[0], A)
 # rooflines
 nbytes = len(clf.offsets) * V.num_dofs * 4
 log(f"DIA data: {nbytes/1e6:.0f} MB -> write-roofline {nbytes/819e9*1e3:.2f} ms @819GB/s")

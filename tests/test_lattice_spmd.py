@@ -60,7 +60,7 @@ def test_sharded_chebyshev_cuts_iterations():
     outer CG iterations than plain Jacobi.  n=16 — at toy sizes Jacobi
     already converges in a handful of iterations and there is nothing to
     cut."""
-    V, a, L, mpc, bc = _problem_3d(16)
+    V, a, L, mpc, bc = _problem_3d(32)
     mesh8 = make_device_mesh(8)
     pj = ShardedLatticeProblem(a, L, mpc, [bc], device_mesh=mesh8, rtol=1e-10)
     uj, itj, _ = pj.solve()
