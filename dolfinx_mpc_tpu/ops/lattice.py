@@ -373,57 +373,6 @@ def _dof_delta_table(mesh, element, lat: LatticeInfo):
     return ddi
 
 
-def _pack_parts(parts, offsets, bs, r3, qshape, out_xyz, zdtype):
-    """Assemble the DIA data array from q-space padded blocks — the strided
-    scatter a refined grid needs, done scatter-free.
-
-    A contribution at base-corner delta `da` lands on refined-grid points
-    da + r*box.  Factor each grid axis as g = q*r + s (q box-aligned, s the
-    sub-step): for fixed s the targets form a DENSE q-range, so each
-    (offset, da) group is one jnp.pad — exactly the degree-1 scheme — and the
-    full axis is recovered by interleaving the r sub-grids with one
-    transpose+reshape at the end.
-
-    parts[oid][ci][cj]: dict (s0, s1, s2) -> (q0, q1, q2) block (or absent).
-    Returns (n_off, bs, bs, out_xyz[0], out_xyz[1], out_xyz[2])."""
-    r0, r1, r2 = r3
-    q0, q1, q2 = qshape
-    if r0 == r1 == r2 == 1:
-        zero = None
-        rows = []
-        for oid in range(len(offsets)):
-            for ci in range(bs):
-                for cj in range(bs):
-                    e = parts[oid][ci][cj].get((0, 0, 0))
-                    if e is None:
-                        if zero is None:
-                            zero = jnp.zeros((q0, q1, q2), zdtype)
-                        e = zero
-                    rows.append(e)
-        data = jnp.stack(rows).reshape(len(offsets), bs, bs, q0, q1, q2)
-        return data[..., : out_xyz[0], : out_xyz[1], : out_xyz[2]]
-    zero = None
-    rows = []
-    for oid in range(len(offsets)):
-        for ci in range(bs):
-            for cj in range(bs):
-                entry = parts[oid][ci][cj]
-                for s0 in range(r0):
-                    for s1 in range(r1):
-                        for s2 in range(r2):
-                            e = entry.get((s0, s1, s2))
-                            if e is None:
-                                if zero is None:
-                                    zero = jnp.zeros((q0, q1, q2), zdtype)
-                                e = zero
-                            rows.append(e)
-    data = jnp.stack(rows).reshape(len(offsets), bs, bs, r0, r1, r2, q0, q1, q2)
-    data = data.transpose(0, 1, 2, 6, 3, 7, 4, 8, 5).reshape(
-        len(offsets), bs, bs, q0 * r0, q1 * r1, q2 * r2
-    )
-    return data[..., : out_xyz[0], : out_xyz[1], : out_xyz[2]]
-
-
 def _detect_lattice_wrap(mpc, vshape, bs):
     """Check that the MPC is a pure lattice-plane identification: every slave
     has exactly one master with coefficient 1, slaves live on the LAST plane
@@ -742,25 +691,40 @@ class CompiledLatticeForm:
 
         fill(tab, ci, cj) -> (nb[0], nb[1], nb[2]) box-grid block (the summed
         element-tensor entries of one (offset, corner-delta) group).  Targets
-        are da + r*box: q = da//r is the box-aligned part ({0,1} since
-        deltas <= r), s = da%r picks the sub-grid — each group is ONE jnp.pad
-        in q-space and _pack_parts interleaves the sub-grids (scatter-free
-        for any refinement)."""
-        r0, r1, r2 = self.r3
+        are da + r*box — placed in ONE `lax.pad` with INTERIOR padding r-1
+        per axis (strided placement without scatter).  For r=1 this is the
+        plain edge pad; for r=2 it replaces a (q, s)-interleave
+        transpose+reshape whose (…, 2)-minor relayout cost ~600x the element
+        kernel on TPU (measured 994 ms vs 1.65 ms at P2 n=54)."""
+        r3 = self.r3
         bs = self.bs
-        parts = [[[dict() for _ in range(bs)] for _ in range(bs)] for _ in self.offsets]
+        zero = np.zeros((), zdtype).item() if np.dtype(zdtype).kind != "c" else np.dtype(zdtype).type(0)
+        parts = [[[None for _ in range(bs)] for _ in range(bs)] for _ in self.offsets]
         for (oid, da), tab in self._grouped_moves().items():
-            q = (da[0] // r0, da[1] // r1, da[2] // r2)
-            s = (da[0] % r0, da[1] % r1, da[2] % r2)
-            pad = ((q[0], 1 - q[0]), (q[1], 1 - q[1]), (q[2], 1 - q[2]))
+            cfg = tuple(
+                (da[d], out_xyz[d] - da[d] - r3[d] * (nb[d] - 1) - 1, r3[d] - 1)
+                for d in range(3)
+            )
             for ci in range(bs):
                 for cj in range(bs):
                     blk = fill(tab, ci, cj)
-                    padded = jnp.pad(blk, pad)
-                    d = parts[oid][ci][cj]
-                    d[s] = padded if s not in d else d[s] + padded
-        qshape = (nb[0] + 1, nb[1] + 1, nb[2] + 1)
-        return _pack_parts(parts, self.offsets, bs, self.r3, qshape, out_xyz, zdtype)
+                    padded = jax.lax.pad(blk, jnp.asarray(zero, blk.dtype), cfg)
+                    cur = parts[oid][ci][cj]
+                    parts[oid][ci][cj] = padded if cur is None else cur + padded
+        zerog = None
+        rows = []
+        for oid in range(len(self.offsets)):
+            for ci in range(bs):
+                for cj in range(bs):
+                    e = parts[oid][ci][cj]
+                    if e is None:
+                        if zerog is None:
+                            zerog = jnp.zeros(out_xyz, zdtype)
+                        e = zerog
+                    rows.append(e)
+        return jnp.stack(rows).reshape(
+            (len(self.offsets), bs, bs) + tuple(out_xyz)
+        )
 
     # ------------------------------------------------------------------
     def _assemble_impl(self, coords, bc_mask, coeff_vecs, diagval):
