@@ -1025,9 +1025,9 @@ class CompiledLatticeForm:
         """Same contract as _assemble_fold_lean, via the fused pallas kernel
         (ops/pallas_lattice.py; verified entry-identical in
         tests/test_pallas_lattice.py)."""
-        kp = jnp.pad(keep_grid[0].astype(jnp.float32), ((1, 1), (0, 0), (0, 0)))
-        data = self._pallas_raw(jitter, kp)  # (n_off, n0, n1, n2)
+        data = self._pallas_raw(jitter)  # (n_off, n0, n1, n2) unmasked
         data = data[:, None, None]
+        data = self._zero_bc_on_grid(data, keep_grid)
         data = self._diag_adds(data, diagval)
         dia = DIAMatrix(data, self.offsets, self.vshape, self.bs)
         return LatticeOperator(

@@ -44,11 +44,10 @@ def pallas_supported(clf) -> bool:
 
 
 def make_lean_fold_pallas(clf, interpret=False):
-    """Build assemble(jitter, keep_padded) -> data (n_off, n0, n1, n2).
+    """Build assemble(jitter) -> UNMASKED data (n_off, n0, n1, n2).
 
-    keep_padded: (n0 + 2, n1, n2) f32 — the (1 - bc_mask) grid padded with a
-    zero plane on each side (so the kernel reads col-keep planes p-1..p+1
-    without bounds logic)."""
+    BC row/col masking + diagval stay in XLA (measured ~0.08 ms at n=64;
+    Mosaic cannot lower the shifted-mask pads yet)."""
     lat = clf.lat
     nx, ny, nz = lat.dims
     n0, n1, n2 = clf.vshape
@@ -65,14 +64,15 @@ def make_lean_fold_pallas(clf, interpret=False):
     for t, a, b, oid, (dax, day, daz) in clf.moves:
         by_dax[dax].append((t, a, b, oid, day, daz))
 
-    def kernel(jit_ref, kl_ref, km_ref, kh_ref, out_ref):
+    def kernel(jit_ref, out_ref):
         p = pl.program_id(0)
         s = 1.0 + jit_ref[0, 0]
         out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
         # lane coordinate grids over the (ny, nz) boxes of one plane
-        jj = jax.lax.broadcasted_iota(jnp.float32, (ny, nz), 0)
-        kk = jax.lax.broadcasted_iota(jnp.float32, (ny, nz), 1)
+        # Mosaic requires integer iota; cast after
+        jj = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0).astype(jnp.float32)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1).astype(jnp.float32)
 
         def plane_contribution(q, moves_list, w):
             # per-cell geometry pipeline for box plane q (same arithmetic as
@@ -124,38 +124,10 @@ def make_lean_fold_pallas(clf, interpret=False):
         plane_contribution(jnp.maximum(p - 1, 0), by_dax[1], w_lo)
         plane_contribution(jnp.minimum(p, nx - 1), by_dax[0], w_hi)
 
-        # BC row/col masking on the finished plane: entry (r, r+off) dies iff
-        # r or r+off is a bc dof (identical to _zero_bc_on_grid).  The three
-        # keep inputs are the SAME padded grid shifted by -1/0/+1 planes
-        # (BlockSpec index maps are block-granule, so an overlapping 3-plane
-        # window cannot be expressed on one input).
-        krow = km_ref[0]  # (n1, n2): keep plane p
-        kplanes = {-1: kl_ref, 0: km_ref, 1: kh_ref}
-        for d, (di, dj, dk) in enumerate(offsets):
-            kc_plane = kplanes[di][0]  # col plane p + di
-            dst = (
-                slice(max(-dj, 0), n1 - max(dj, 0)),
-                slice(max(-dk, 0), n2 - max(dk, 0)),
-            )
-            src = (
-                slice(max(dj, 0), n1 + min(dj, 0)),
-                slice(max(dk, 0), n2 + min(dk, 0)),
-            )
-            pad = (
-                (max(-dj, 0), max(dj, 0)),
-                (max(-dk, 0), max(dk, 0)),
-            )
-            kcol = jnp.pad(kc_plane[src], pad)
-            out_ref[d, 0] *= krow * kcol
-
-    plane_spec = pl.BlockSpec((1, n1, n2), lambda p: (p, 0, 0), memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
         grid=(n0,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda p: (0, 0), memory_space=pltpu.SMEM),
-            plane_spec,
-            plane_spec,
-            plane_spec,
         ],
         out_specs=pl.BlockSpec(
             (n_off, 1, n1, n2), lambda p: (0, p, 0, 0), memory_space=pltpu.VMEM
@@ -169,12 +141,7 @@ def make_lean_fold_pallas(clf, interpret=False):
         interpret=interpret,
     )
 
-    def assemble(jitter, keep_padded):
-        # keep_padded: (n0 + 2, n1, n2); plane p of the three views is the
-        # col-keep plane p-1 / p / p+1 respectively
-        kl = keep_padded[0:n0]
-        km = keep_padded[1 : 1 + n0]
-        kh = keep_padded[2 : 2 + n0]
-        return call(jnp.asarray(jitter, jnp.float32).reshape(1, 1), kl, km, kh)
+    def assemble(jitter):
+        return call(jnp.asarray(jitter, jnp.float32).reshape(1, 1))
 
     return assemble

@@ -42,12 +42,9 @@ def test_pallas_matches_xla_lean(jitter):
     jit = jnp.asarray(jitter, jnp.float32)
     ref = clf._assemble_fold_lean(jit, dv, clf._keep_grid)
     pal = make_lean_fold_pallas(clf, interpret=True)
-    kp = jnp.pad(clf._keep_grid[0].astype(jnp.float32), ((1, 1), (0, 0), (0, 0)))
-    data_p = np.asarray(pal(jit, kp))[:, None, None]
-    # diag adds applied by the wrapper; apply here for the raw comparison
-    import jax
-
-    data_p = np.asarray(clf._diag_adds(jnp.asarray(data_p), dv))
+    data_p = jnp.asarray(np.asarray(pal(jit))[:, None, None])
+    data_p = clf._zero_bc_on_grid(data_p, clf._keep_grid)
+    data_p = np.asarray(clf._diag_adds(data_p, dv))
     err = np.abs(np.asarray(ref.dia.data) - data_p).max()
     scale = np.abs(np.asarray(ref.dia.data)).max()
     assert err < 5e-6 * max(scale, 1.0), (err, scale)
