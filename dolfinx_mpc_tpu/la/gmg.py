@@ -171,7 +171,7 @@ def build_gmg_hierarchy(make_compiled_form, n, n_levels, min_n=4):
     ops, masks = [], []
     for l in range(n_levels):
         nl = n >> l
-        if nl < min_n or (nl % 2 and l + 1 < n_levels):
+        if nl < min_n:
             break
         clf = make_compiled_form(nl)
         ops.append(clf.assemble())
@@ -180,4 +180,6 @@ def build_gmg_hierarchy(make_compiled_form, n, n_levels, min_n=4):
         if clf.mpc is not None and clf.mpc.num_local_slaves:
             m[np.asarray(clf.mpc.slaves)] = 0.0
         masks.append(jnp.asarray(m))
+        if nl % 2:
+            break  # odd level: no further 2:1 coarsening — keep it as coarsest
     return ops, masks

@@ -38,7 +38,6 @@ def pallas_supported(clf) -> bool:
         and clf.bs == 1
         and clf.refine == 1
         and clf.mesh.tdim == 3
-        and clf.x_chunks == 1
         and np.dtype(clf.dtype) == np.float32
     )
 
