@@ -42,15 +42,42 @@ def pallas_supported(clf) -> bool:
     )
 
 
-def make_lean_fold_pallas(clf, interpret=False):
+def make_lean_fold_pallas(clf, interpret=False, max_off=None):
     """Build assemble(jitter) -> UNMASKED data (n_off, n0, n1, n2).
 
     BC row/col masking + diagval stay in XLA (measured ~0.08 ms at n=64;
-    Mosaic cannot lower the shifted-mask pads yet)."""
+    Mosaic cannot lower the shifted-mask pads yet).
+
+    The output plane block is double-buffered by the pallas pipeline; when
+    2 * n_off * n1 * n2 * 4B would blow the ~16MB VMEM budget (n >= ~200),
+    the offsets are SPLIT across several pallas calls (each recomputes the
+    cheap per-cell geometry; outputs are concatenated)."""
+    n0, n1, n2 = clf.vshape
+    offsets = clf.offsets
+    n_off = len(offsets)
+    # offsets per call so that 2 (double-buffer) * block * 4B <= ~12MB
+    if max_off is None:
+        max_off = max(1, int(12e6 / (2 * 4 * n1 * n2)))
+    if max_off >= n_off:
+        return _make_lean_fold_pallas_group(clf, list(range(n_off)), interpret)
+    groups = [list(range(i, min(i + max_off, n_off))) for i in range(0, n_off, max_off)]
+    calls = [_make_lean_fold_pallas_group(clf, g, interpret) for g in groups]
+
+    def assemble(jitter):
+        return jnp.concatenate([c(jitter) for c in calls], axis=0)
+
+    return assemble
+
+
+def _make_lean_fold_pallas_group(clf, oid_group, interpret=False):
+    """Pallas call computing the DIA planes for the offset ids in
+    `oid_group` (a contiguous range)."""
     lat = clf.lat
     nx, ny, nz = lat.dims
     n0, n1, n2 = clf.vshape
-    offsets = clf.offsets
+    oid_set = set(oid_group)
+    oid_local = {oid: i for i, oid in enumerate(oid_group)}
+    offsets = [clf.offsets[o] for o in oid_group]
     n_off = len(offsets)
     geo = clf._geo_deltas  # (T, 4, 3) vertex deltas
     T = geo.shape[0]
@@ -61,7 +88,8 @@ def make_lean_fold_pallas(clf, interpret=False):
     # the (j, k) target offsets and the (t, a, b) element-tensor index
     by_dax = {0: [], 1: []}
     for t, a, b, oid, (dax, day, daz) in clf.moves:
-        by_dax[dax].append((t, a, b, oid, day, daz))
+        if oid in oid_set:
+            by_dax[dax].append((t, a, b, oid_local[oid], day, daz))
 
     def kernel(jit_ref, out_ref):
         p = pl.program_id(0)

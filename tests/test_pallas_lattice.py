@@ -48,3 +48,15 @@ def test_pallas_matches_xla_lean(jitter):
     err = np.abs(np.asarray(ref.dia.data) - data_p).max()
     scale = np.abs(np.asarray(ref.dia.data)).max()
     assert err < 5e-6 * max(scale, 1.0), (err, scale)
+
+
+def test_pallas_offset_split_matches():
+    """The VMEM offset-split path (multiple pallas calls) is identical to
+    the single-call kernel."""
+    import jax.numpy as jnp
+
+    clf = _clf(5)
+    jit = jnp.asarray(0.01, jnp.float32)
+    one = make_lean_fold_pallas(clf, interpret=True)(jit)
+    split = make_lean_fold_pallas(clf, interpret=True, max_off=4)(jit)
+    assert np.abs(np.asarray(one) - np.asarray(split)).max() < 1e-6
