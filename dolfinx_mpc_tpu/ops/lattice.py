@@ -103,6 +103,19 @@ class DIAMatrix:
     def matvec(self, x):
         n0, n1, n2 = self.vshape
         bs = self.bs
+        # pallas SpMV on accelerators (scalar stencils): plane programs with
+        # roll+mask per offset — the XLA slice-add chain runs ~10x off the
+        # HBM roofline
+        import os as _os
+
+        if (bs == 1 and self.data.dtype == jnp.float32
+                and jax.default_backend() not in ("cpu",)
+                and not _os.environ.get("DMT_NO_PALLAS")):
+            from .pallas_lattice import dia_matvec_supported, make_dia_matvec_pallas
+
+            if dia_matvec_supported(self.offsets, self.vshape, bs):
+                mv = make_dia_matvec_pallas(self.offsets, self.vshape)
+                return mv(self.data, x.astype(jnp.float32))
         # (bs, n0, n1, n2) component-major grids: every op below is a static
         # slice + FMA — no einsum (a bs=1 einsum lowers to batched 1x1
         # dot_generals, ~1000x slower than the elementwise form on TPU)

@@ -55,9 +55,12 @@ def make_lean_fold_pallas(clf, interpret=False, max_off=None):
     n0, n1, n2 = clf.vshape
     offsets = clf.offsets
     n_off = len(offsets)
-    # offsets per call so that 2 (double-buffer) * block * 4B <= ~12MB
+    # offsets per call bounded by the 16MB scoped-VMEM limit.  Empirical
+    # footprint (Mosaic stack, incl. double buffering and tile padding):
+    # 17.78MB for 15 offsets at 217x217 planes -> ~26 bytes per (offset,
+    # plane point); budget 13MB leaves headroom for the input planes.
     if max_off is None:
-        max_off = max(1, int(12e6 / (2 * 4 * n1 * n2)))
+        max_off = max(1, int(13e6 / (26 * n1 * n2)))
     if max_off >= n_off:
         return _make_lean_fold_pallas_group(clf, list(range(n_off)), interpret)
     groups = [list(range(i, min(i + max_off, n_off))) for i in range(0, n_off, max_off)]
@@ -172,3 +175,71 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False):
         return call(jnp.asarray(jitter, jnp.float32).reshape(1, 1))
 
     return assemble
+
+
+# ---------------------------------------------------------------------------
+# DIA matvec kernel: y[p] = sum_d data[d, p] * shift_{dj,dk}( x[p + di] )
+# ---------------------------------------------------------------------------
+
+_matvec_cache = {}
+
+
+def dia_matvec_supported(offsets, vshape, bs) -> bool:
+    return bs == 1 and vshape[2] > 1 and all(abs(di) <= 2 for di, _, _ in offsets)
+
+
+def make_dia_matvec_pallas(offsets, vshape, interpret=False):
+    """Pallas DIA SpMV for scalar 3D stencils (the solve-side analogue of the
+    assembly kernel): one program per x-plane, each offset applied as a
+    circular roll + iota edge mask on (n1, n2) lane arrays — no y scatter,
+    no per-offset full-grid temporaries.  Replaces the XLA chain of 15
+    read-modify-write slice-adds (measured ~10x off roofline)."""
+    key = (tuple(offsets), tuple(vshape), interpret)
+    if key in _matvec_cache:
+        return _matvec_cache[key]
+    n0, n1, n2 = vshape
+    n_off = len(offsets)
+    W = max(abs(di) for di, _, _ in offsets)  # x-halo width (1 for P1, 2 for P2)
+
+    def kernel(*refs):
+        x_refs = refs[: 2 * W + 1]
+        d_ref, y_ref = refs[2 * W + 1], refs[2 * W + 2]
+        xpl = {di: x_refs[di + W] for di in range(-W, W + 1)}
+        jj = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
+        acc = jnp.zeros((n1, n2), jnp.float32)
+        for d, (di, dj, dk) in enumerate(offsets):
+            sh = xpl[di][0]
+            if dj:
+                sh = pltpu.roll(sh, -dj % n1, 0)
+            if dk:
+                sh = pltpu.roll(sh, -dk % n2, 1)
+            valid = (jj + dj >= 0) & (jj + dj < n1) & (kk + dk >= 0) & (kk + dk < n2)
+            acc = acc + d_ref[d, 0] * jnp.where(valid, sh, 0.0)
+        y_ref[0] = acc
+
+    plane = lambda: pl.BlockSpec((1, n1, n2), lambda p: (p, 0, 0), memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(n0,),
+        in_specs=[plane() for _ in range(2 * W + 1)] + [
+            pl.BlockSpec((n_off, 1, n1, n2), lambda p: (0, p, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n1, n2), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n0, n1, n2), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+
+    def matvec(data, x):
+        # data: (n_off, bs=1, bs=1, n0, n1, n2); x flat (n0*n1*n2,)
+        xg = x.reshape(n0, n1, n2)
+        xp = jnp.pad(xg, ((W, W), (0, 0), (0, 0)))
+        planes = [xp[s : s + n0] for s in range(2 * W + 1)]
+        y = call(*planes, data[:, 0, 0])
+        return y.reshape(-1)
+
+    _matvec_cache[key] = matvec
+    return matvec

@@ -60,3 +60,25 @@ def test_pallas_offset_split_matches():
     one = make_lean_fold_pallas(clf, interpret=True)(jit)
     split = make_lean_fold_pallas(clf, interpret=True, max_off=4)(jit)
     assert np.abs(np.asarray(one) - np.asarray(split)).max() < 1e-6
+
+
+def test_pallas_matvec_matches():
+    """Pallas DIA SpMV == XLA DIA matvec (interpret mode)."""
+    import jax.numpy as jnp
+
+    from dolfinx_mpc_tpu.ops.pallas_lattice import (
+        dia_matvec_supported,
+        make_dia_matvec_pallas,
+    )
+
+    clf = _clf(5)
+    A = clf.assemble()
+    dia = A.dia
+    assert dia_matvec_supported(dia.offsets, dia.vshape, dia.bs)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(dia.shape[0]).astype(np.float32))
+    y_ref = np.asarray(dia.matvec(x))
+    mv = make_dia_matvec_pallas(dia.offsets, dia.vshape, interpret=True)
+    y_pal = np.asarray(mv(dia.data, x))
+    scale = np.abs(y_ref).max()
+    assert np.abs(y_pal - y_ref).max() < 5e-6 * max(scale, 1.0)
