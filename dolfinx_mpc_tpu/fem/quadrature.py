@@ -53,6 +53,41 @@ def _tet_rule(degree: int):
     return None
 
 
+def _grundmann_moller(n: int, s: int):
+    """Grundmann-Moller rule on the n-simplex, exact to degree 2s+1
+    (Grundmann & Moller 1978) — O(s^n) points for ANY degree, replacing the
+    O(m^n) collapsed tensor fallback for simplices beyond the hand-coded
+    low-order rules."""
+    from itertools import combinations_with_replacement
+    from math import factorial
+
+    pts, wts = [], []
+    deg = 2 * s + 1
+    for i in range(s + 1):
+        d = deg + n - 2 * i
+        w = (
+            (-1) ** i
+            * 2.0 ** (-2 * s)
+            * float(d) ** deg
+            / (factorial(i) * factorial(deg + n - i))
+        )
+        # all beta with |beta| = s - i over n+1 slots
+        m = s - i
+        for c in combinations_with_replacement(range(n + 1), m):
+            beta = [0] * (n + 1)
+            for j in c:
+                beta[j] += 1
+            bary = [(2 * bj + 1) / d for bj in beta]
+            pts.append(bary[1:])  # drop lambda_0: reference coords
+            wts.append(w)
+    P = np.asarray(pts)
+    W = np.asarray(wts)
+    # the GM weights integrate over the UNIT-VOLUME simplex scaled by n!;
+    # normalize so constants integrate to vol(T_n) = 1/n!
+    W = W / W.sum() / factorial(n)
+    return P, W
+
+
 def quadrature_rule(cell: ReferenceCell, degree: int):
     """Return (points (nq, tdim), weights (nq,)) integrating polynomials of
     total degree `degree` exactly on the reference cell."""
@@ -62,10 +97,12 @@ def quadrature_rule(cell: ReferenceCell, degree: int):
         r = _tri_rule(degree)
         if r is not None:
             return r
+        return _grundmann_moller(2, max(0, (degree - 1 + 1) // 2))
     if cell.name == CellType.tetrahedron:
         r = _tet_rule(degree)
         if r is not None:
             return r
+        return _grundmann_moller(3, max(0, (degree - 1 + 1) // 2))
     # Duffy transform multiplies the integrand degree by up to +1 per collapsed
     # axis; be safe with n = ceil((degree + tdim) / 2) + 1 points per axis.
     n = max(1, (degree + cell.tdim) // 2 + 1)

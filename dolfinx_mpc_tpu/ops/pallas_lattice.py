@@ -31,15 +31,61 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["make_lean_fold_pallas", "pallas_supported"]
 
 
+def _probe_constant_M(term, gdim):
+    """Constant feature matrix of a scalar bilinear integrand: features are
+    [value, d/dx, d/dy, d/dz]; integrand(u, v, ctx) must be bilinear with
+    x-independent coefficients and no FEM coefficients (same probing idea as
+    ops/soa_kernels.py).  Returns (4, 4) numpy M or None."""
+    if term.coefficients:
+        return None
+    from ..fem.forms import Arg, Ctx
+
+    nF = 1 + gdim
+    probes = []
+    for f in range(nF):
+        val = 1.0 if f == 0 else 0.0
+        grd = np.zeros(gdim)
+        if f > 0:
+            grd[f - 1] = 1.0
+        probes.append(Arg(val, grd))
+    consts = {k: np.asarray(v) for k, v in term.constants.items()}
+
+    def mat(x):
+        out = np.zeros((nF, nF))
+        ctx = Ctx(np.asarray(x), None, dict(consts))
+        for f in range(nF):
+            for g in range(nF):
+                try:
+                    v = complex(np.asarray(term.integrand(probes[f], probes[g], ctx)))
+                except Exception:
+                    return None
+                if v.imag != 0:
+                    return None
+                out[f, g] = v.real
+        return out
+
+    rng = np.random.default_rng(11)
+    M1 = mat(rng.random(gdim))
+    if M1 is None:
+        return None
+    M2 = mat(rng.random(gdim))
+    if M2 is None or not np.allclose(M1, M2, rtol=1e-12, atol=1e-14):
+        return None  # x-dependent coefficients
+    return M1
+
+
 def pallas_supported(clf) -> bool:
-    """The v1 kernel covers the flagship config: 3D P1 scalar lean fold."""
-    return (
+    """Covers scalar 3D lean-fold forms with constant coefficients at
+    degrees 1-2 (the flagship + the reference's canonical --degree 2)."""
+    if not (
         clf._lean
         and clf.bs == 1
-        and clf.refine == 1
+        and clf.refine in (1, 2)
         and clf.mesh.tdim == 3
         and np.dtype(clf.dtype) == np.float32
-    )
+    ):
+        return False
+    return _probe_constant_M(clf.term, clf.mesh.gdim) is not None
 
 
 def make_lean_fold_pallas(clf, interpret=False, max_off=None):
@@ -74,10 +120,21 @@ def make_lean_fold_pallas(clf, interpret=False, max_off=None):
 
 def _make_lean_fold_pallas_group(clf, oid_group, interpret=False):
     """Pallas call computing the DIA planes for the offset ids in
-    `oid_group` (a contiguous range)."""
+    `oid_group` (a contiguous range).
+
+    General scalar constant-coefficient forms via the probed feature matrix
+    M (features [value, dx, dy, dz]): Ae[a][b] = sum_qp w |det| sum_{f,g}
+    M[f,g] F_f(a) F_g(b), with the basis value/reference-gradient tables of
+    the space's element at the term's quadrature rule — the same integral
+    the XLA SoA kernel computes, fused into plane programs.
+
+    Degree 2: box-lane contributions land on the refined grid at
+    (r j + day, r k + daz) — placed by pltpu.repeat upsampling + an
+    even-parity mask + one slice-add per (offset, corner) group."""
     lat = clf.lat
     nx, ny, nz = lat.dims
     n0, n1, n2 = clf.vshape
+    r = clf.refine
     oid_set = set(oid_group)
     oid_local = {oid: i for i, oid in enumerate(oid_group)}
     offsets = [clf.offsets[o] for o in oid_group]
@@ -87,36 +144,64 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False):
     origin = tuple(float(v) for v in clf._origin)
     spacing = tuple(float(v) for v in clf._spacing)
 
-    # group moves by the x component of the corner delta; each entry carries
-    # the (j, k) target offsets and the (t, a, b) element-tensor index
-    by_dax = {0: [], 1: []}
+    # quadrature + basis tables (match the XLA kernel's rule exactly)
+    from ..fem.quadrature import quadrature_rule
+
+    el = clf.V.element
+    qdeg = clf.term.quad_degree
+    if qdeg is None:
+        qdeg = 2 * el.degree
+    qpts, qw = quadrature_rule(clf.mesh.ref_cell, qdeg)
+    phi = el.tabulate(qpts)  # (nq, nd)
+    dref = el.tabulate_grad(qpts)  # (nq, nd, 3)
+    nq = len(qw)
+    M = _probe_constant_M(clf.term, clf.mesh.gdim)
+    assert M is not None
+    nzM = [(f, g) for f in range(4) for g in range(4) if abs(M[f, g]) > 0.0]
+
+    # group moves by the x component of the corner delta
+    by_dax = {d: [] for d in range(r + 1)}
     for t, a, b, oid, (dax, day, daz) in clf.moves:
         if oid in oid_set:
             by_dax[dax].append((t, a, b, oid_local[oid], day, daz))
 
     def kernel(jit_ref, out_ref):
         p = pl.program_id(0)
-        s = 1.0 + jit_ref[0, 0]
+        s_ = 1.0 + jit_ref[0, 0]
         out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
         # lane coordinate grids over the (ny, nz) boxes of one plane
-        # Mosaic requires integer iota; cast after
+        # (Mosaic requires integer iota; cast after)
         jj = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0).astype(jnp.float32)
         kk = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1).astype(jnp.float32)
+        if r > 1:
+            ju = jax.lax.broadcasted_iota(jnp.int32, (r * ny, r * nz), 0)
+            ku = jax.lax.broadcasted_iota(jnp.int32, (r * ny, r * nz), 1)
+            parity = ((ju % r == 0) & (ku % r == 0)).astype(jnp.float32)
+
+        def place(oid, day, daz, ae):
+            if r == 1:
+                out_ref[oid, 0, day : day + ny, daz : daz + nz] += ae
+                return
+            up = pltpu.repeat(pltpu.repeat(ae, r, axis=0), r, axis=1) * parity
+            w1 = min(r * ny, n1 - day)
+            w2 = min(r * nz, n2 - daz)
+            out_ref[oid, 0, day : day + w1, daz : daz + w2] += up[:w1, :w2]
 
         def plane_contribution(q, moves_list, w):
-            # per-cell geometry pipeline for box plane q (same arithmetic as
-            # the SoA kernel: coords -> J -> cofactors -> pulled-back
-            # gradients -> Ae), all as (ny, nz) lane arrays
+            # per-cell geometry pipeline for box plane q, all (ny, nz) lanes
             qf = q.astype(jnp.float32)
             for t in range(T):
+                tab = [m for m in moves_list if m[0] == t]
+                if not tab:
+                    continue
                 verts = []
                 for v in range(4):
                     dx, dy, dz = (float(geo[t, v, d]) for d in range(3))
                     verts.append((
-                        s * (origin[0] + spacing[0] * (qf + dx)),
-                        s * (origin[1] + spacing[1] * (jj + dy)),
-                        s * (origin[2] + spacing[2] * (kk + dz)),
+                        s_ * (origin[0] + spacing[0] * (qf + dx)),
+                        s_ * (origin[1] + spacing[1] * (jj + dy)),
+                        s_ * (origin[2] + spacing[2] * (kk + dz)),
                     ))
                 J = [[verts[a_ + 1][d] - verts[0][d] for a_ in range(3)] for d in range(3)]
                 cof = [[None] * 3 for _ in range(3)]
@@ -131,28 +216,58 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False):
                 cof[2][2] = J[0][0] * J[1][1] - J[0][1] * J[1][0]
                 det = J[0][0] * cof[0][0] + J[0][1] * cof[0][1] + J[0][2] * cof[0][2]
                 inv_det = 1.0 / det
-                g = [[None] * 3 for _ in range(4)]
-                for d in range(3):
-                    g[1][d] = cof[d][0] * inv_det
-                    g[2][d] = cof[d][1] * inv_det
-                    g[3][d] = cof[d][2] * inv_det
-                    g[0][d] = -(g[1][d] + g[2][d] + g[3][d])
-                vol = jnp.abs(det) * (1.0 / 6.0)
-                # accumulate this tet's moves targeting the current plane
-                for tt, a_, b_, oid, day, daz in moves_list:
-                    if tt != t:
-                        continue
-                    ae = w * vol * (
-                        g[a_][0] * g[b_][0] + g[a_][1] * g[b_][1] + g[a_][2] * g[b_][2]
-                    )
-                    out_ref[oid, 0, day : day + ny, daz : daz + nz] += ae
+                absdet = jnp.abs(det)
+                # physical gradients of the reference coordinates:
+                # gX[i][d] = cof[d][i] / det  (i = 0..2)
+                gX = [[cof[d][i] * inv_det for d in range(3)] for i in range(3)]
+                acc = [None] * len(tab)
+                used = sorted({m[1] for m in tab} | {m[2] for m in tab})
+                for iq in range(nq):
+                    scale = float(qw[iq]) * absdet
+                    # physical basis gradients for the used local nodes
+                    ga = {}
+                    for a_ in used:
+                        ga[a_] = [
+                            sum(float(dref[iq, a_, i]) * gX[i][d] for i in range(3))
+                            for d in range(3)
+                        ]
 
-        # box plane p-1 contributes through da_x = 1 moves; plane p through
-        # da_x = 0.  Edge planes get weight 0 (their boxes don't exist).
-        w_lo = jnp.where(p >= 1, 1.0, 0.0)
-        w_hi = jnp.where(p <= nx - 1, 1.0, 0.0)
-        plane_contribution(jnp.maximum(p - 1, 0), by_dax[1], w_lo)
-        plane_contribution(jnp.minimum(p, nx - 1), by_dax[0], w_hi)
+                    def feat(a_, f):
+                        # feature f of basis a_: 0 = value (scalar), 1..3 = grad
+                        if f == 0:
+                            return float(phi[iq, a_])
+                        return ga[a_][f - 1]
+
+                    for mi, (tt, a_, b_, oid, day, daz) in enumerate(tab):
+                        term_sum = None
+                        for f, g_ in nzM:
+                            # integrand(u, v): u = trial = b_, v = test = a_
+                            fu = feat(b_, f)
+                            fv = feat(a_, g_)
+                            contrib = float(M[f, g_]) * fu * fv if not (
+                                isinstance(fu, float) and isinstance(fv, float)
+                            ) else float(M[f, g_]) * fu * fv
+                            term_sum = contrib if term_sum is None else term_sum + contrib
+                        part = scale * term_sum
+                        acc[mi] = part if acc[mi] is None else acc[mi] + part
+                for mi, (tt, a_, b_, oid, day, daz) in enumerate(tab):
+                    ae = w * acc[mi]
+                    if not hasattr(ae, "shape") or ae.shape != (ny, nz):
+                        ae = jnp.broadcast_to(jnp.asarray(ae, jnp.float32), (ny, nz))
+                    place(oid, day, daz, ae)
+
+        # plane p = r*q + dax: for each dax class, the contributing box plane
+        # q = (p - dax)/r when integer and in range (weight 0 otherwise)
+        for dax in range(r + 1):
+            if not by_dax[dax]:
+                continue
+            qnum = p - dax
+            ok = (qnum >= 0) & (qnum < r * nx)
+            if r > 1:
+                ok = ok & (qnum % r == 0)
+            q = jnp.clip(qnum // r, 0, nx - 1)
+            w = jnp.where(ok, 1.0, 0.0)
+            plane_contribution(q, by_dax[dax], w)
 
     grid_spec = pl.GridSpec(
         grid=(n0,),

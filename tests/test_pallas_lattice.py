@@ -82,3 +82,74 @@ def test_pallas_matvec_matches():
     y_pal = np.asarray(mv(dia.data, x))
     scale = np.abs(y_ref).max()
     assert np.abs(y_pal - y_ref).max() < 5e-6 * max(scale, 1.0)
+
+
+def _clf_custom(n, degree, integrand, quad_degree):
+    import jax.numpy as jnp
+
+    mesh = create_unit_cube(n, n, n)
+    V = dmt.functionspace(mesh, ("Lagrange", degree))
+    bdofs = dmt.locate_dofs_geometrical(
+        V, lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], 1.0)
+    )
+    bc = dmt.dirichletbc(0.0, bdofs, V)
+    mpc = dmt.MultiPointConstraint(V, dtype=np.float32)
+    mpc.create_periodic_constraint_geometrical(
+        V, lambda x: np.isclose(x[0], 1.0),
+        lambda x: np.stack([1.0 - x[0], x[1], x[2]]), [bc],
+    )
+    mpc.finalize()
+    a = dmt.BilinearForm(V, integrand, quad_degree=quad_degree)
+    return assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32, side_format="fold")
+
+
+@pytest.mark.parametrize("degree", [1, 2])
+def test_pallas_degree_and_reaction(degree):
+    """General constant-M forms (Laplacian + mass) at degrees 1 and 2 match
+    the XLA lean path."""
+    import jax.numpy as jnp
+
+    # quad_degree = degree + 1 keeps the SoA unroll budget happy at P2
+    # (both paths share the rule, so equivalence holds regardless)
+    clf = _clf_custom(
+        3, degree,
+        lambda u, v, c: inner(grad(u), grad(v)) + 0.5 * inner(u, v),
+        quad_degree=degree + 1,
+    )
+    assert clf._lean and pallas_supported(clf)
+    dv = jnp.asarray(1.0, jnp.float32)
+    jit = jnp.asarray(0.02, jnp.float32)
+    ref = clf._assemble_fold_lean(jit, dv, clf._keep_grid)
+    pal = make_lean_fold_pallas(clf, interpret=True)
+    data_p = jnp.asarray(np.asarray(pal(jit))[:, None, None])
+    data_p = clf._zero_bc_on_grid(data_p, clf._keep_grid)
+    data_p = np.asarray(clf._diag_adds(data_p, dv))
+    ref_d = np.asarray(ref.dia.data)
+    err = np.abs(ref_d - data_p).max()
+    scale = np.abs(ref_d).max()
+    assert err < 5e-6 * max(scale, 1.0), (err, scale)
+
+
+def test_pallas_rejects_coefficient_forms():
+    """Forms with FEM coefficients or x-dependence must NOT ride the pallas
+    path (it only handles constant feature matrices)."""
+    import jax.numpy as jnp
+
+    mesh = create_unit_cube(3, 3, 3)
+    V = dmt.functionspace(mesh, ("Lagrange", 1))
+    mpc = dmt.MultiPointConstraint(V, dtype=np.float32)
+    mpc.create_periodic_constraint_geometrical(
+        V, lambda x: np.isclose(x[0], 1.0),
+        lambda x: np.stack([1.0 - x[0], x[1], x[2]]), [],
+    )
+    mpc.finalize()
+    from dolfinx_mpc_tpu.ops.pallas_lattice import _probe_constant_M
+
+    a_x = dmt.BilinearForm(V, lambda u, v, c: (1.0 + c.x[0]) * inner(grad(u), grad(v)))
+    assert _probe_constant_M(a_x.terms[0], 3) is None
+    w = dmt.Function(V, dtype=np.float32)
+    a_w = dmt.BilinearForm(
+        V, lambda u, v, c: c["w"].value * inner(grad(u), grad(v)),
+        coefficients={"w": w},
+    )
+    assert _probe_constant_M(a_w.terms[0], 3) is None
