@@ -143,7 +143,14 @@ def _coeff_vectors(term):
     return {n: jnp.asarray(f.x.array) for n, f in term.coefficients.items()}
 
 
-def _compile_matrix(form: Form, constraint, dtype) -> CompiledMatrixForm:
+def _compile_matrix(form: Form, constraint, dtype, cell_chunk=262144) -> CompiledMatrixForm:
+    """Compile the constrained matrix assembly.
+
+    Cells of each term are reordered (non-slave first, slave after) so the
+    value computation can run in UNIFORM padded chunks inside a fori_loop —
+    bounding the per-quadrature-point kernel intermediates that otherwise
+    scale O(n_cells * nq * nd^2) (a 1M-dof vector problem materialized 5.6GB
+    and OOMed the chip).  Single-shot below `cell_chunk` active cells."""
     mpc_r, mpc_c = _mpc_pair(constraint)
     Vt, Vs = form.test_space, form.trial_space
     tr_row = _build_cell_transforms(Vt, mpc_r, dtype)
@@ -155,6 +162,7 @@ def _compile_matrix(form: Form, constraint, dtype) -> CompiledMatrixForm:
     batches = []  # (rows, cols) host arrays in registration order
     masks = []
     tables = {"terms": []}
+    term_meta = []
     for ct in terms:
         cells = ct.cells
         sl = tr_row.slave_cell_mask[cells] | tr_col.slave_cell_mask[cells]
@@ -180,24 +188,46 @@ def _compile_matrix(form: Form, constraint, dtype) -> CompiledMatrixForm:
 
         Tr = _T_or_identity(tr_row, pr, dmr.shape[1], er.shape[1], dtype)
         Tc = _T_or_identity(tr_col, pc, dmc.shape[1], ecol.shape[1], dtype)
-        coords_act = points[mesh.cells[cells]]
-        lf = ct.local_facets if ct.local_facets is not None else np.zeros(len(cells), np.int32)
-        tables["terms"].append(
-            dict(
-                coords=jnp.asarray(coords_act, dtype=_real_dtype(dtype)),
-                lf=jnp.asarray(lf),
-                idx_ns=jnp.asarray(idx_ns, jnp.int32),
-                idx_sl=jnp.asarray(idx_sl, jnp.int32),
-                Tr=jnp.asarray(Tr),
-                Tc=jnp.asarray(Tc),
-                dmr=jnp.asarray(dmr, jnp.int32),
-                dmc=jnp.asarray(dmc, jnp.int32),
+        lf_all = ct.local_facets if ct.local_facets is not None else np.zeros(len(cells), np.int32)
+
+        def gather(order, pad_to):
+            """Per-class tables in `order`, padded to pad_to with cell 0."""
+            n = len(order)
+            o = np.concatenate([order, np.zeros(pad_to - n, np.int64)]) if pad_to > n else order
+            return dict(
+                coords=jnp.asarray(points[mesh.cells[cells[o]]], dtype=_real_dtype(dtype)),
+                lf=jnp.asarray(lf_all[o]),
+                dmr=jnp.asarray(dmr[o], jnp.int32),
+                dmc=jnp.asarray(dmc[o], jnp.int32),
                 wdofmaps={
-                    n: jnp.asarray(W.dofmap[cells], jnp.int32)
-                    for n, W in zip(ct.coeff_names, ct.coeff_spaces)
+                    n_: jnp.asarray(W.dofmap[cells[o]], jnp.int32)
+                    for n_, W in zip(ct.coeff_names, ct.coeff_spaces)
                 },
             )
-        )
+
+        n_ns, n_sl = len(idx_ns), len(idx_sl)
+        chunk = min(cell_chunk, max(n_ns, 1))
+        nc_ns = -(-n_ns // chunk) if n_ns else 0
+        pad_ns = nc_ns * chunk
+        chunk_sl = min(cell_chunk, max(n_sl, 1))
+        nc_sl = -(-n_sl // chunk_sl) if n_sl else 0
+        pad_sl = nc_sl * chunk_sl
+        tb = dict(ns=gather(idx_ns, pad_ns), sl=gather(idx_sl, pad_sl))
+        if n_sl:
+            Tr_p = np.concatenate([Tr, np.broadcast_to(Tr[:1], (pad_sl - n_sl,) + Tr.shape[1:])]) if pad_sl > n_sl else Tr
+            Tc_p = np.concatenate([Tc, np.broadcast_to(Tc[:1], (pad_sl - n_sl,) + Tc.shape[1:])]) if pad_sl > n_sl else Tc
+        else:
+            Tr_p = np.zeros((0, dmr.shape[1], 1), dtype)
+            Tc_p = np.zeros((0, dmc.shape[1], 1), dtype)
+        tb["sl"]["Tr"] = jnp.asarray(Tr_p)
+        tb["sl"]["Tc"] = jnp.asarray(Tc_p)
+        tables["terms"].append(tb)
+        term_meta.append(dict(
+            n_ns=n_ns, n_sl=n_sl, chunk=chunk, chunk_sl=chunk_sl,
+            nc_ns=nc_ns, nc_sl=nc_sl, ndt=dmr.shape[1], nds=dmc.shape[1],
+            W_r=Tr_p.shape[2] if Tr_p.size else 1,
+            W_c=Tc_p.shape[2] if Tc_p.size else 1,
+        ))
 
     # slave diagonal + bc diagonal slots (square forms only — rectangular
     # blocks have no diagonal, reference assemble_matrix.py:44-65)
@@ -224,26 +254,61 @@ def _compile_matrix(form: Form, constraint, dtype) -> CompiledMatrixForm:
     n_terms = len(terms)
     kernels = [ct.kernel for ct in terms]
 
+    def _chunked_vals(kern, tb, meta, coeff_vec, bc_row_mask, bc_col_mask, side):
+        """Flat element values for one class (ns or sl) of one term,
+        computed chunk-by-chunk in a fori_loop (uniform padded chunks)."""
+        n_act = meta["n_ns"] if side == "ns" else meta["n_sl"]
+        n_chunks = meta["nc_ns"] if side == "ns" else meta["nc_sl"]
+        chunk = meta["chunk"] if side == "ns" else meta["chunk_sl"]
+        t = tb[side]
+        if n_act == 0:
+            width = meta["ndt"] * meta["nds"] if side == "ns" else meta["W_r"] * meta["W_c"]
+            return jnp.zeros((0,), _result_dtype(dtype))
+        width = meta["ndt"] * meta["nds"] if side == "ns" else meta["W_r"] * meta["W_c"]
+
+        def body(i, flat):
+            c0 = i * chunk
+            cs = jax.lax.dynamic_slice_in_dim(t["coords"], c0, chunk, 0)
+            lf = jax.lax.dynamic_slice_in_dim(t["lf"], c0, chunk, 0)
+            dmr_c = jax.lax.dynamic_slice_in_dim(t["dmr"], c0, chunk, 0)
+            dmc_c = jax.lax.dynamic_slice_in_dim(t["dmc"], c0, chunk, 0)
+            wl = {
+                n_: coeff_vec[n_][jax.lax.dynamic_slice_in_dim(t["wdofmaps"][n_], c0, chunk, 0)]
+                for n_ in coeff_vec
+            }
+            Ae = kern(cs, lf, wl)  # (chunk, ndt, nds)
+            mr = 1.0 - bc_row_mask[dmr_c]
+            mc = 1.0 - bc_col_mask[dmc_c]
+            Ae = Ae * mr[:, :, None] * mc[:, None, :]
+            if side == "sl":
+                Tr_c = jax.lax.dynamic_slice_in_dim(t["Tr"], c0, chunk, 0)
+                Tc_c = jax.lax.dynamic_slice_in_dim(t["Tc"], c0, chunk, 0)
+                Ae = jnp.einsum(
+                    "ciw,cij,cjv->cwv", jnp.conj(Tr_c), Ae, Tc_c,
+                    preferred_element_type=Ae.dtype,
+                )
+            return jax.lax.dynamic_update_slice_in_dim(
+                flat, Ae.reshape(-1).astype(flat.dtype), c0 * width, 0
+            )
+
+        flat0 = jnp.zeros((n_chunks * chunk * width,), _result_dtype(dtype))
+        if n_chunks == 1:
+            flat = body(0, flat0)
+        else:
+            flat = jax.lax.fori_loop(0, n_chunks, body, flat0)
+        return flat[: n_act * width]
+
     def assemble_fn(tabs, coeff_vecs, bc_row_mask, bc_col_mask, bc_diag_vals, diagval):
         vals_out = []
         for ti in range(n_terms):
             tb = tabs["terms"][ti]
-            wlocals = {
-                n: coeff_vecs[ti][n][tb["wdofmaps"][n]] for n in coeff_vecs[ti]
-            }
-            Ae = kernels[ti](tb["coords"], tb["lf"], wlocals)  # (n_act, ndt, nds)
-            # BC rows/cols zeroing (reference assemble_matrix.cpp:513-533)
-            mr = 1.0 - bc_row_mask[tb["dmr"]]
-            mc = 1.0 - bc_col_mask[tb["dmc"]]
-            Ae = Ae * mr[:, :, None] * mc[:, None, :]
-            Ae_ns = Ae[tb["idx_ns"]]
-            Ae_sl = Ae[tb["idx_sl"]]
-            Aep = jnp.einsum(
-                "ciw,cij,cjv->cwv", jnp.conj(tb["Tr"]), Ae_sl, tb["Tc"],
-                preferred_element_type=Ae.dtype,
-            )
-            vals_out.append(Ae_ns.reshape(-1))
-            vals_out.append(Aep.reshape(-1))
+            meta = term_meta[ti]
+            vals_out.append(_chunked_vals(
+                kernels[ti], tb, meta, coeff_vecs[ti], bc_row_mask, bc_col_mask, "ns"
+            ))
+            vals_out.append(_chunked_vals(
+                kernels[ti], tb, meta, coeff_vecs[ti], bc_row_mask, bc_col_mask, "sl"
+            ))
         out_dtype = vals_out[0].dtype if vals_out else jnp.asarray(diagval).dtype
         dv = jnp.real(diagval) if (jnp.iscomplexobj(diagval) and not jnp.issubdtype(out_dtype, jnp.complexfloating)) else diagval
         vals_out.append(jnp.full((slaves_row.shape[0],), dv, dtype=out_dtype))
@@ -255,6 +320,10 @@ def _compile_matrix(form: Form, constraint, dtype) -> CompiledMatrixForm:
     return CompiledMatrixForm(
         form, terms, tr_row, tr_col, pattern, slots_dev, tables, slaves_row, jax.jit(assemble_fn)
     )
+
+
+def _result_dtype(dtype):
+    return np.dtype(dtype)
 
 
 def _ext_or_identity(tr: CellTransforms, pos, dm_sub):

@@ -107,3 +107,42 @@ def test_diagval():
     d = np.asarray(A.diagonal())
     for s in mpc.slaves:
         assert np.isclose(d[s], 3.5)
+
+
+def test_chunked_assembly_matches_single_shot():
+    """The fori_loop cell-chunked value computation (memory bound for 1M+
+    vector problems) is entry-identical to single-shot assembly."""
+    import numpy as np
+
+    import dolfinx_mpc_tpu as dmt
+    from dolfinx_mpc_tpu.fem.forms import grad, inner
+    from dolfinx_mpc_tpu.fem.mesh import create_unit_square
+    from dolfinx_mpc_tpu.ops.assemble import _compile_matrix, _coeff_vectors
+
+    mesh = create_unit_square(6, 6)
+    V = dmt.functionspace(mesh, ("Lagrange", 1, (2,)))
+    mpc = dmt.MultiPointConstraint(V)
+    mpc.create_general_constraint(
+        {np.array([1.0, 1.0]).tobytes(): {np.array([0.0, 1.0]).tobytes(): 0.8}}
+    )
+    mpc.finalize()
+    bdofs = dmt.locate_dofs_geometrical(V, lambda x: np.isclose(x[1], 0.0))
+    bc = dmt.dirichletbc(np.zeros(2), bdofs, V)
+    a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)))
+
+    import jax.numpy as jnp
+
+    from dolfinx_mpc_tpu.ops.assemble import _bc_masks
+
+    outs = []
+    for chunk in (262144, 7):  # single-shot vs 11 chunks
+        cm = _compile_matrix(a, mpc, np.float64, cell_chunk=chunk)
+        bcm = jnp.asarray(_bc_masks(V, [bc], np.float64))
+        bc_diag = np.zeros(V.num_dofs)
+        bc_diag[bc.dofs] = 1.0
+        data = cm.assemble_fn(
+            cm.tables, [_coeff_vectors(t.term) for t in cm.terms],
+            bcm, bcm, jnp.asarray(bc_diag), jnp.asarray(1.0),
+        )
+        outs.append(np.asarray(data))
+    assert np.abs(outs[0] - outs[1]).max() < 1e-12
