@@ -69,13 +69,15 @@ def run(nb, nt, rtol, out):
     b = jnp.asarray(np.asarray(dmt.set_bc(b, [bc, bc_top])))
     timings["assemble vector"] = time.time() - t0
 
+    # A as a jit ARG (pytree), not a closure: closed-over index/data arrays
+    # become 100MB+ executable constants that fault the device at scale
     solve = jax.jit(
-        lambda b: cg(A.matvec, b, M=jacobi_preconditioner(A.diagonal()), rtol=rtol, max_it=8000)
+        lambda A_, b: cg(A_.matvec, b, M=jacobi_preconditioner(A_.diagonal()), rtol=rtol, max_it=8000)
     )
-    x, its, rn = solve(b)
+    x, its, rn = solve(A, b)
     x.block_until_ready()
     t0 = time.time()
-    x, its, rn = solve(b)
+    x, its, rn = solve(A, b)
     x.block_until_ready()
     timings["solve"] = time.time() - t0
     t0 = time.time()

@@ -69,8 +69,10 @@ def run(r, degree, rtol, out, boomeramg=False):
     b = jnp.asarray(np.asarray(dmt.set_bc(b, [bc])))
 
     solve = jax.jit(
-        lambda b: cg(A.matvec, b, M=jacobi_preconditioner(A.diagonal()), rtol=rtol, max_it=5000)
+        lambda A_, b: cg(A_.matvec, b, M=jacobi_preconditioner(A_.diagonal()), rtol=rtol, max_it=5000)
     )
+    solve_ = solve
+    solve = lambda b: solve_(A, b)
     x, its, rn = solve(b)
     x.block_until_ready()  # includes compile
     t0 = time.time()

@@ -92,11 +92,16 @@ class CSRMatrix:
         self.shape = shape
 
     def tree_flatten(self):
-        return (self.data,), (self.indices, self.indptr, self.row_ids, self.shape)
+        # index arrays are CHILDREN (traced leaves): as aux they make the
+        # matrix unhashable as a jit argument, forcing callers to close over
+        # it — and 100MB+ closure constants fault the remote-compiled
+        # executable at scale
+        ch = (self.data, self.indices, self.indptr, self.row_ids)
+        return ch, (self.shape,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], *aux)
+        return cls(*children, aux[0])
 
     @classmethod
     def from_pattern(cls, pattern: SlotPattern, data):

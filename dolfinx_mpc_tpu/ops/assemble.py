@@ -390,9 +390,12 @@ def _bc_values(V: FunctionSpace, bcs, dtype):
 # ---------------------------------------------------------------------------
 
 
+@jax.tree_util.register_pytree_node_class
 class MPCMatrix(CSRMatrix):
     """Assembled constrained matrix; CSR with the K^H A K structure plus
-    diagval on slave/bc diagonals."""
+    diagval on slave/bc diagonals.  Registered as its own pytree (the base
+    class registration does not cover subclasses) so it can be a jit
+    argument."""
 
 
 def _form_cache(form) -> dict:

@@ -109,6 +109,7 @@ class DIAMatrix:
         import os as _os
 
         if (bs == 1 and self.data.dtype == jnp.float32
+                and n0 * n1 * n2 >= 32768  # tiny (GMG-coarse) grids: XLA wins
                 and jax.default_backend() not in ("cpu",)
                 and not _os.environ.get("DMT_NO_PALLAS")):
             from .pallas_lattice import dia_matvec_supported, make_dia_matvec_pallas
