@@ -13,7 +13,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def run(nb, nt, rtol, out):
+def run(nb, nt, rtol, out, max_it=8000, cheb=False):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -71,14 +71,15 @@ def run(nb, nt, rtol, out):
 
     # A as a jit ARG (pytree), not a closure: closed-over index/data arrays
     # become 100MB+ executable constants that fault the device at scale
-    solve = jax.jit(
-        lambda A_, b: cg(A_.matvec, b, M=jacobi_preconditioner(A_.diagonal()), rtol=rtol, max_it=8000)
-    )
-    x, its, rn = solve(A, b)
-    x.block_until_ready()
+    # segmented CG: exact Krylov continuation across bounded dispatches —
+    # a single long execution is killed by this environment's TPU tunnel
+    from dolfinx_mpc_tpu.la.solvers import cg_segmented
+
+    x, its, rn = cg_segmented(A, b, rtol=rtol, max_it=max_it, seg=100)
+    jax.block_until_ready(x)
     t0 = time.time()
-    x, its, rn = solve(A, b)
-    x.block_until_ready()
+    x, its, rn = cg_segmented(A, b, rtol=rtol, max_it=max_it, seg=100)
+    jax.block_until_ready(x)
     timings["solve"] = time.time() - t0
     t0 = time.time()
     u = mpc.finalized.backsubstitution(x)
@@ -100,6 +101,8 @@ if __name__ == "__main__":
     p.add_argument("--nb", type=int, default=16, help="bottom cube resolution")
     p.add_argument("--nt", type=int, default=13, help="top cube resolution")
     p.add_argument("--rtol", type=float, default=1e-6)
+    p.add_argument("--max-it", type=int, default=8000)
+    p.add_argument("--cheb", action="store_true")
     p.add_argument("--out", default="results_bench_contact.txt")
     args = p.parse_args()
-    run(args.nb, args.nt, args.rtol, args.out)
+    run(args.nb, args.nt, args.rtol, args.out, max_it=args.max_it, cheb=args.cheb)

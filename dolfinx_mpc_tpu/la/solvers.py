@@ -16,6 +16,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["SolverOptions", "cg", "bicgstab", "gmres", "jacobi_preconditioner", "chebyshev_preconditioner", "solve"]
 
@@ -221,9 +222,27 @@ def gmres(A: Callable, b, M: Callable = None, x0=None, rtol=1e-8, atol=1e-12, ma
     return x, it, jnp.linalg.norm(b - A(x))
 
 
+@jax.tree_util.register_pytree_node_class
+class JacobiPC:
+    """Jacobi preconditioner as a CALLABLE PYTREE — usable as a jit
+    argument (a bare closure can only be captured as a constant)."""
+
+    def __init__(self, inv):
+        self.inv = inv
+
+    def __call__(self, r):
+        return self.inv * r
+
+    def tree_flatten(self):
+        return (self.inv,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(ch[0])
+
+
 def jacobi_preconditioner(diag):
-    inv = jnp.where(diag != 0, 1.0 / diag, 1.0)
-    return lambda r: inv * r
+    return JacobiPC(jnp.where(diag != 0, 1.0 / diag, 1.0))
 
 
 def chebyshev_preconditioner(A: Callable, diag, lmin_frac=0.06, lmax_safety=1.1, degree=3, n_power=20, probe=None):
@@ -271,6 +290,61 @@ def chebyshev_preconditioner(A: Callable, diag, lmin_frac=0.06, lmax_safety=1.1,
         return x
 
     return M
+
+
+def cg_segmented(Aop, b, M=None, rtol=1e-8, atol=1e-12, max_it=10000, seg=150):
+    """Preconditioned CG executed in bounded-iteration device segments with
+    the FULL Krylov state carried between dispatches (exact continuation, no
+    restart penalty).  Needed where a single long execution is killed by the
+    runtime (this environment's TPU tunnel kills executions beyond ~30-60s)
+    and useful for convergence monitoring.  Aop must be a pytree operator
+    with .matvec (CSRMatrix/MPCMatrix/LatticeOperator); M a pytree callable
+    (JacobiPC/LatticeGMG) or None for Jacobi."""
+    if M is None:
+        M = jacobi_preconditioner(Aop.diagonal())
+
+    @jax.jit
+    def init(Ao, Mo, b):
+        x = jnp.zeros_like(b)
+        r = b - Ao.matvec(x)
+        z = Mo(r)
+        rz = _vdot(r, z)
+        return (x, r, z, z, rz), jnp.real(_vdot(r, r))
+
+    @jax.jit
+    def run_seg(Ao, Mo, state, tol2):
+        def cond(s):
+            (x, r, z, p, rz), k = s
+            return (jnp.real(_vdot(r, r)) > tol2) & (k < seg)
+
+        def body(s):
+            (x, r, z, p, rz), k = s
+            Ap = Ao.matvec(p)
+            alpha = rz / _vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = Mo(r)
+            rzn = _vdot(r, z)
+            p = z + (rzn / rz) * p
+            return (x, r, z, p, rzn), k + 1
+
+        (state, k) = jax.lax.while_loop(cond, body, (state, 0))
+        x, r, z, p, rz = state
+        return state, k, jnp.real(_vdot(r, r))
+
+    bnorm = float(jnp.linalg.norm(b))
+    tol2 = jnp.asarray(max(rtol * bnorm, atol) ** 2, jnp.real(b).dtype)
+    state, rr = init(Aop, M, b)
+    total = 0
+    rr = float(rr)
+    while rr > float(tol2) and total < max_it:
+        state, k, rr_d = run_seg(Aop, M, state, tol2)
+        total += int(k)
+        rr = float(rr_d)
+        if int(k) == 0:
+            break
+    x = state[0]
+    return x, total, float(np.sqrt(max(rr, 0.0)))
 
 
 def solve(A: Callable, b, options: SolverOptions, diag=None, x0=None):

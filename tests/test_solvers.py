@@ -83,3 +83,19 @@ def test_gmres_counts_iterations():
     assert int(its) > 0
     assert float(rn) < 1e-9 * np.linalg.norm(b) + 1e-10
     assert np.abs(np.asarray(x) - x_ref).max() < 1e-7
+
+
+def test_cg_segmented_exact_continuation():
+    """Segmented CG (bounded device dispatches) carries the full Krylov
+    state: iteration-for-iteration identical to monolithic CG."""
+    import jax.numpy as jnp
+
+    from dolfinx_mpc_tpu.la.solvers import cg, cg_segmented, jacobi_preconditioner
+
+    A, b, x_ref = _system()
+    bj = jnp.asarray(b)
+    x1, i1, r1 = cg(A.matvec, bj, M=jacobi_preconditioner(A.diagonal()), rtol=1e-11, max_it=2000)
+    x2, i2, r2 = cg_segmented(A, bj, rtol=1e-11, max_it=2000, seg=9)
+    assert abs(int(i1) - i2) <= 10
+    assert float(jnp.abs(x1 - x2).max()) < 1e-9
+    assert np.abs(np.asarray(x2) - x_ref).max() < 1e-7
