@@ -115,7 +115,12 @@ class CSRMatrix:
 
     def matvec(self, x):
         prod = self.data * x[self.indices]
-        return jax.ops.segment_sum(prod, self.row_ids, num_segments=self.shape[0])
+        # row_ids are row-major sorted by construction (build_slot_pattern);
+        # the sorted hint lets XLA lower the reduction without the general
+        # scatter path
+        return jax.ops.segment_sum(
+            prod, self.row_ids, num_segments=self.shape[0], indices_are_sorted=True
+        )
 
     def __matmul__(self, x):
         return self.matvec(x)
@@ -123,7 +128,8 @@ class CSRMatrix:
     def diagonal(self):
         is_diag = self.row_ids == self.indices
         return jax.ops.segment_sum(
-            jnp.where(is_diag, self.data, 0), self.row_ids, num_segments=self.shape[0]
+            jnp.where(is_diag, self.data, 0), self.row_ids,
+            num_segments=self.shape[0], indices_are_sorted=True,
         )
 
     def to_scipy(self):
