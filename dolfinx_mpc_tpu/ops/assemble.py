@@ -572,9 +572,14 @@ def assemble_vector(form: Form, constraint=None, b=None, dtype=None):
 
 
 
-def _compile_lifting(form: Form, constraint, dtype):
+def _compile_lifting(form: Form, constraint, dtype, bcs=None):
     """Per-cell: be = -Ae @ g_cell (raw Ae, no bc zeroing), then conj(T)^T be
-    (reference lifting.h:250-301 + modify_mpc_vec at :117-128)."""
+    (reference lifting.h:250-301 + modify_mpc_vec at :117-128).
+
+    Only cells with at least one BC COLUMN dof are processed — the
+    reference's entity skip (lifting.h:93-109); the tables are O(bc-surface)
+    instead of O(cells) (the full-mesh version materialized 5.1GB of kernel
+    intermediates at a 1M-dof contact problem)."""
     mpc_r, mpc_c = _mpc_pair(constraint)
     Vt, Vs = form.test_space, form.trial_space
     tr_row = _build_cell_transforms(Vt, mpc_r, dtype)
@@ -582,9 +587,21 @@ def _compile_lifting(form: Form, constraint, dtype):
     mesh = Vt.mesh
     points = mesh.points
     ndofs = Vt.num_dofs
+    bc_col = np.zeros(Vs.num_dofs, bool)
+    if bcs:
+        for bc in bcs:
+            if _bc_applies(bc, Vs):
+                bc_col[bc.dofs] = True
     tables = {"terms": []}
     for ct in terms:
         cells = ct.cells
+        if bcs is not None:
+            has_bc = bc_col[Vs.dofmap[cells]].any(axis=1)
+            keep = np.flatnonzero(has_bc)
+            cells = cells[keep]
+            lf_src = ct.local_facets[keep] if ct.local_facets is not None else None
+        else:
+            lf_src = ct.local_facets
         sl = tr_row.slave_cell_mask[cells]
         idx_ns = np.flatnonzero(~sl)
         idx_sl = np.flatnonzero(sl)
@@ -593,7 +610,7 @@ def _compile_lifting(form: Form, constraint, dtype):
         pr = tr_row.cell_pos[cells[idx_sl]]
         er = _ext_or_identity(tr_row, pr, dmr[idx_sl])
         Tr = _T_or_identity(tr_row, pr, dmr.shape[1], er.shape[1], dtype)
-        lf = ct.local_facets if ct.local_facets is not None else np.zeros(len(cells), np.int32)
+        lf = lf_src if lf_src is not None else np.zeros(len(cells), np.int32)
         tables["terms"].append(
             dict(
                 coords=jnp.asarray(points[mesh.cells[cells]], dtype=_real_dtype(dtype)),
@@ -641,13 +658,14 @@ def apply_lifting(b, forms, bcs_list, constraint=None, x0=None, scale=1.0, dtype
     for form, bcs in zip(forms, bcs_list):
         if not bcs:
             continue
-        key = ("lift", id(constraint), np.dtype(dtype).str)
+        key = ("lift", id(constraint), np.dtype(dtype).str,
+               tuple(sorted(id(bc) for bc in bcs)))
         cache = _form_cache(form)
         ct = cache.get(key)
         if ct is None:
-            ct = _compile_lifting(form, constraint, dtype)
+            ct = _compile_lifting(form, constraint, dtype, bcs=bcs)
             cache[key] = ct
-            cache.setdefault("_refs", []).append((constraint,))
+            cache.setdefault("_refs", []).append((constraint, tuple(bcs)))
         terms, tables, lift_fn = ct
         Vs = form.trial_space
         gvec = jnp.asarray(_bc_values(Vs, bcs, dtype))
