@@ -13,7 +13,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def run(nb, nt, rtol, out, max_it=8000, cheb=False):
+def run(nb, nt, rtol, out, max_it=8000, cheb=False, seg=100):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -75,10 +75,10 @@ def run(nb, nt, rtol, out, max_it=8000, cheb=False):
     # a single long execution is killed by this environment's TPU tunnel
     from dolfinx_mpc_tpu.la.solvers import cg_segmented
 
-    x, its, rn = cg_segmented(A, b, rtol=rtol, max_it=max_it, seg=100)
+    x, its, rn = cg_segmented(A, b, rtol=rtol, max_it=max_it, seg=seg)
     jax.block_until_ready(x)
     t0 = time.time()
-    x, its, rn = cg_segmented(A, b, rtol=rtol, max_it=max_it, seg=100)
+    x, its, rn = cg_segmented(A, b, rtol=rtol, max_it=max_it, seg=seg)
     jax.block_until_ready(x)
     timings["solve"] = time.time() - t0
     t0 = time.time()
@@ -103,6 +103,7 @@ if __name__ == "__main__":
     p.add_argument("--rtol", type=float, default=1e-6)
     p.add_argument("--max-it", type=int, default=8000)
     p.add_argument("--cheb", action="store_true")
+    p.add_argument("--seg", type=int, default=100, help="CG iterations per device dispatch")
     p.add_argument("--out", default="results_bench_contact.txt")
     args = p.parse_args()
-    run(args.nb, args.nt, args.rtol, args.out, max_it=args.max_it, cheb=args.cheb)
+    run(args.nb, args.nt, args.rtol, args.out, max_it=args.max_it, cheb=args.cheb, seg=args.seg)

@@ -303,7 +303,34 @@ def dia_matvec_supported(offsets, vshape, bs) -> bool:
     return bs == 1 and vshape[2] > 1 and all(abs(di) <= 2 for di, _, _ in offsets)
 
 
-def make_dia_matvec_pallas(offsets, vshape, interpret=False):
+def make_dia_matvec_pallas(offsets, vshape, interpret=False, max_off=None):
+    """Entry point: splits the offsets across several pallas calls when the
+    double-buffered (n_off, 1, n1, n2) data block would blow the 16MB VMEM
+    budget (P2's 65 diagonals at 217^2 planes needed 30MB); partial y's
+    sum."""
+    n0, n1, n2 = vshape
+    if max_off is None:
+        max_off = max(1, int(13e6 / (26 * n1 * n2)))
+    n_off = len(offsets)
+    if max_off >= n_off:
+        return _make_dia_matvec_group(offsets, vshape, interpret)
+    groups = [list(range(i, min(i + max_off, n_off))) for i in range(0, n_off, max_off)]
+    calls = [
+        ( _make_dia_matvec_group([offsets[o] for o in g], vshape, interpret), g[0], g[-1] + 1 )
+        for g in groups
+    ]
+
+    def matvec(data, x):
+        y = None
+        for call, g0, g1 in calls:
+            yg = call(data[g0:g1], x)
+            y = yg if y is None else y + yg
+        return y
+
+    return matvec
+
+
+def _make_dia_matvec_group(offsets, vshape, interpret=False):
     """Pallas DIA SpMV for scalar 3D stencils (the solve-side analogue of the
     assembly kernel): one program per x-plane, each offset applied as a
     circular roll + iota edge mask on (n1, n2) lane arrays — no y scatter,

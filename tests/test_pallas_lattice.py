@@ -153,3 +153,18 @@ def test_pallas_rejects_coefficient_forms():
         coefficients={"w": w},
     )
     assert _probe_constant_M(a_w.terms[0], 3) is None
+
+
+def test_pallas_matvec_offset_split():
+    """The VMEM offset-split SpMV equals the single-call SpMV."""
+    import jax.numpy as jnp
+
+    from dolfinx_mpc_tpu.ops.pallas_lattice import make_dia_matvec_pallas
+
+    clf = _clf(5)
+    dia = clf.assemble().dia
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal(dia.shape[0]).astype(np.float32))
+    one = make_dia_matvec_pallas(dia.offsets, dia.vshape, interpret=True)(dia.data, x)
+    split = make_dia_matvec_pallas(dia.offsets, dia.vshape, interpret=True, max_off=4)(dia.data, x)
+    assert np.abs(np.asarray(one) - np.asarray(split)).max() < 1e-5
