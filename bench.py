@@ -3,12 +3,23 @@ Poisson — the reference's canonical benchmark
 (/root/reference/python/benchmarks/bench_periodic.py: unit-cube tet mesh,
 periodic MPC, CG; Makefile baseline `--nref 6 --tet --degree 2` on 23 ranks).
 
-Measurement protocol: the TPU tunnel in this environment adds ~30-50 ms of
-relay overhead per dispatch AND caches identical dispatches, so naive
-per-call timing is meaningless.  We therefore time K chained, perturbed
-assemblies inside ONE jitted program and difference two chain lengths —
-(T_K - T_1)/(K-1) isolates true per-assembly device time.  The CG solve is
-one jitted while_loop (single dispatch, long execution) timed directly.
+Measurement protocol (round-3 rewrite; the round-2 artifact was corrupted by
+two tunnel behaviors):
+ - `block_until_ready()` does NOT block through the axon TPU tunnel — only a
+   VALUE FETCH forces execution.  Every timed region ends with np.asarray()
+   on a scalar result, and the queue is drained before t0.
+ - The tunnel caches identical dispatches, so every timed call carries a
+   fresh seed argument that perturbs the input.
+ - Per-op time comes from differencing two on-device chain lengths
+   (fori/while loop trip count passed as a TRACED argument — one compile
+   serves all K).  A noise-floor guard grows K until the difference clears
+   4 ms and flags the JSON with "suspect_noise_floor" if it cannot, plus a
+   physical roofline guard (effective write bandwidth must stay below
+   1.2 TB/s on a ~0.8 TB/s HBM part).
+ - Phase breakdown on stderr: assembly, single SpMV, one GMG V-cycle, CG
+   per-iteration (fixed-iteration differencing), and the converged solve.
+ - pallas==XLA is asserted ON-CHIP for both the assembler and the SpMV
+   before any timing (VERDICT r2 weak #6); skip with DMT_SKIP_EQCHECK=1.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline divides by a MEASURED reference rate: csrc/ref_baseline.cpp
@@ -19,13 +30,14 @@ of the node named in BASELINE.md — i.e. the reference is granted IDEAL
 linear MPI scaling, which is generous to it.  If the C++ toolchain is
 unavailable the old 1.0 MDoF/s/core estimate is used and flagged on stderr.
 
-Env knobs: BENCH_N (default 64), BENCH_CHAIN (default 21),
+Env knobs: BENCH_N (default 64), BENCH_CHAIN (default 33),
 BENCH_XCHUNKS (default 1; >1 bounds the assembly working set by processing
 x-slabs inside one fori_loop — needed beyond ~n=96 on a 16 GB chip),
 BENCH_DEGREE (default 1; 2 = the reference's canonical --degree 2 config,
 riding the refined-grid DIA fast path).
 """
 
+import itertools
 import json
 import os
 import sys
@@ -66,9 +78,41 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+SEED = itertools.count(1)
+
+
+def timed(run, reps=4):
+    """Best-of-reps wall time of run(seed) with the result VALUE-FETCHED
+    (block_until_ready is a no-op through the TPU tunnel) and a fresh seed
+    per call (the tunnel caches identical dispatches)."""
+    best = 1e9
+    for _ in range(reps):
+        s = float(next(SEED))
+        t0 = time.time()
+        np.asarray(run(s))
+        best = min(best, time.time() - t0)
+    return best
+
+
+def chain_diff(run_chain, k_lo, k_hi, label, floor=4e-3, k_max=4096):
+    """Per-op seconds from (T(k_hi) - T(k_lo)) / (k_hi - k_lo), growing k_hi
+    until the difference clears `floor` (k is a traced arg: no recompiles).
+    Returns (per_op_seconds, suspect: bool)."""
+    t_lo = timed(lambda s: run_chain(s, k_lo))
+    t_hi = timed(lambda s: run_chain(s, k_hi))
+    while (t_hi - t_lo) < floor and k_hi * 2 <= k_max:
+        k_hi *= 2
+        t_hi = timed(lambda s: run_chain(s, k_hi))
+    per = (t_hi - t_lo) / (k_hi - k_lo)
+    suspect = (t_hi - t_lo) < floor or per <= 0
+    log(f"{label}: T{k_lo}={t_lo*1e3:.1f}ms T{k_hi}={t_hi*1e3:.1f}ms -> "
+        f"{per*1e3:.3f} ms/op" + ("  ** NOISE FLOOR — SUSPECT **" if suspect else ""))
+    return max(per, 1e-9), suspect
+
+
 def main():
     n = int(os.environ.get("BENCH_N", "64"))
-    K = int(os.environ.get("BENCH_CHAIN", "21"))
+    K = int(os.environ.get("BENCH_CHAIN", "33"))
     xchunks = int(os.environ.get("BENCH_XCHUNKS", "1"))
     degree = int(os.environ.get("BENCH_DEGREE", "1"))
 
@@ -123,66 +167,80 @@ def main():
     dv = jnp.asarray(1.0, jnp.float32)
     if clf._lean:
         # lean fold: assembly is f(jitter, diagval, keep_grid) — coords
-        # synthesized on device; vary the jitter per chain step to defeat
-        # CSE/caching while keeping real per-cell geometry work in the kernel
+        # synthesized on device; the seed perturbs the jitter to defeat the
+        # tunnel's dispatch cache while keeping real per-cell geometry work
         keepg = clf._keep_grid
 
-        def make_chain(k):
+        @jax.jit
+        def chain(j0, kg, k):
             # keep_grid must be an ARGUMENT of the jitted chain: closed over,
             # XLA constant-folds its broadcast/pad chains into 632MB padded
             # literals (P2 n=54 OOM)
-            @jax.jit
-            def chain(j0, kg):
-                def body(i, acc):
-                    r = f(j0 + 1e-7 * i.astype(jnp.float32), dv, kg)
-                    return acc + r.dia.data.ravel()[0]
-                return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
-            return lambda c: chain(c, keepg)
+            def body(i, acc):
+                r = f(j0 + 1e-7 * i.astype(jnp.float32), dv, kg)
+                return acc + r.dia.data.ravel()[0]
+            return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
 
-        coords = jnp.zeros((), jnp.float32)
+        run_chain = lambda s, k: chain(jnp.float32(s * 1e-6), keepg, k)
     else:
         keep = clf._keep_soa
         coords = clf.coords_soa
 
-        def make_chain(k):
-            # fori_loop keeps ONE assembly in the compiled program regardless
-            # of chain length (a python-unrolled chain multiplies compile
-            # time by k)
-            @jax.jit
-            def chain(c):
-                def body(i, acc):
-                    r = f(c * (1.0 + 1e-7 * i.astype(jnp.float32)), keep, {}, dv)
-                    acc = acc + r.dia.data.ravel()[0]
-                    if r.side_Aep is not None and r.side_Aep.shape[0]:
-                        acc = acc + r.side_Aep.ravel()[0]
-                    elif r.side_data is not None and r.side_data.shape[0]:
-                        acc = acc + r.side_data[0]
-                    return acc
-                return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
-            return chain
+        @jax.jit
+        def chain(c, k):
+            def body(i, acc):
+                r = f(c * (1.0 + 1e-7 * i.astype(jnp.float32)), keep, {}, dv)
+                acc = acc + r.dia.data.ravel()[0]
+                if r.side_Aep is not None and r.side_Aep.shape[0]:
+                    acc = acc + r.side_Aep.ravel()[0]
+                elif r.side_data is not None and r.side_data.shape[0]:
+                    acc = acc + r.side_data[0]
+                return acc
+            return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
 
-    c1, cK = make_chain(1), make_chain(K)
+        run_chain = lambda s, k: chain(coords * (1.0 + 1e-9 * s), k)
+
     t0 = time.time()
-    c1(coords).block_until_ready()
-    cK(coords).block_until_ready()
-    log(f"compile: {time.time()-t0:.1f}s")
+    np.asarray(run_chain(0.0, 1))
+    np.asarray(run_chain(0.0, K))
+    log(f"assembly compile+warm: {time.time()-t0:.1f}s")
 
-    def best(fn, reps=4):
-        ts = []
-        for _ in range(reps):
-            t0 = time.time()
-            fn(coords).block_until_ready()
-            ts.append(time.time() - t0)
-        return min(ts)
+    # ---- on-chip pallas == XLA equivalence (before any timing) ----------
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if (on_tpu and clf._lean and getattr(clf, "_pallas_raw", None) is not None
+            and not os.environ.get("DMT_SKIP_EQCHECK")):
+        t0 = time.time()
+        jit_t = jnp.float32(3e-7)
+        d_pl = f(jit_t, dv, keepg).dia
+        xla_asm = jax.jit(clf._assemble_fold_lean)
+        d_xla = xla_asm(jit_t, dv, keepg).dia
+        num = float(jnp.max(jnp.abs(d_pl.data - d_xla.data)))
+        den = float(jnp.max(jnp.abs(d_xla.data)))
+        rel_a = num / max(den, 1e-30)
+        # SpMV: same DIA data through both matvec paths
+        xr = jax.random.normal(jax.random.PRNGKey(0), (d_xla.data[0, 0, 0].size,),
+                               dtype=jnp.float32)
+        y_pl = jax.jit(lambda A_, x_: A_.matvec(x_))(d_xla, xr)
+        os.environ["DMT_NO_PALLAS"] = "1"
+        y_xla = jax.jit(lambda A_, x_: A_.matvec(x_))(d_xla, xr)
+        del os.environ["DMT_NO_PALLAS"]
+        rel_m = float(jnp.linalg.norm(y_pl - y_xla)) / max(float(jnp.linalg.norm(y_xla)), 1e-30)
+        log(f"on-chip pallas==XLA: assembler rel {rel_a:.2e}, SpMV rel {rel_m:.2e} "
+            f"({time.time()-t0:.1f}s)")
+        assert rel_a < 5e-4, f"pallas assembler diverges from XLA on-chip: {rel_a}"
+        assert rel_m < 5e-5, f"pallas SpMV diverges from XLA on-chip: {rel_m}"
 
-    tK, t1 = best(cK, reps=6), best(c1, reps=6)
-    t_asm = max((tK - t1) / (K - 1), 1e-9)
+    t_asm, suspect = chain_diff(run_chain, 1, K, "assembly chain")
     mdof_s = V.num_dofs / t_asm / 1e6
-    log(f"chain times: T1={t1*1e3:.1f}ms T{K}={tK*1e3:.1f}ms -> {t_asm*1e3:.2f} ms/assembly")
-    log(f"constrained assembly: {mdof_s:.1f} MDoF/s")
+    out_bytes = 4 * V.num_dofs * (len(clf.offsets) if clf._lean else 15)
+    eff_bw = out_bytes / t_asm / 1e9
+    if eff_bw > 1200.0:  # physical guard: ~0.82 TB/s HBM on v5e
+        suspect = True
+        log(f"** assembly implies {eff_bw:.0f} GB/s write BW — above the HBM "
+            f"roofline, marking measurement SUSPECT **")
+    log(f"constrained assembly: {mdof_s:.1f} MDoF/s ({eff_bw:.0f} GB/s DIA write)")
 
-    # full solve: geometric-multigrid-preconditioned CG (the BoomerAMG
-    # analogue), falling back to Jacobi if the hierarchy can't be built
+    # ---- full solve: GMG-preconditioned CG ------------------------------
     A = clf.assemble()
     if clf._lean and V.num_dofs > 2**21:
         # the general RHS assembler keeps O(cells) tables — at 10M-dof scale
@@ -244,37 +302,62 @@ def main():
     # payload limit at 10M dofs
     from dolfinx_mpc_tpu.la.gmg import LatticeGMG as _GMG
 
+    # phase breakdown: single fine SpMV and one V-cycle, chain-differenced
+    @jax.jit
+    def mv_chain(A_, x_, s, k):
+        def body(i, v):
+            return A_.matvec(v * (1.0 + 1e-9 * i.astype(jnp.float32)))
+        return jax.lax.fori_loop(0, k, body, x_ * (1.0 + 1e-9 * s))[0]
+
+    xr = b / jnp.maximum(jnp.linalg.norm(b), 1e-30)
+    t_mv, _ = chain_diff(lambda s, k: mv_chain(A, xr, jnp.float32(s), k), 1, 33,
+                         "fine SpMV chain")
+    log(f"  -> SpMV {15 if not clf._lean else len(clf.offsets)}-diag "
+        f"{4*2*V.num_dofs*(len(clf.offsets) if clf._lean else 15)/t_mv/1e9:.0f} GB/s effective")
+
     if isinstance(M, _GMG):
         @jax.jit
-        def solve(A_, M_, b):
-            return cg(A_.matvec, b, M=M_, rtol=1e-6, max_it=3000)
-        run = lambda bb: solve(A, M, bb)
-    else:
-        @jax.jit
-        def solve(A_, b):
-            return cg(A_.matvec, b, M=M, rtol=1e-6, max_it=3000)
-        run = lambda bb: solve(A, bb)
+        def vc_chain(M_, r0, s, k):
+            def body(i, v):
+                return M_(v * (1.0 + 1e-9 * i.astype(jnp.float32)))
+            return jax.lax.fori_loop(0, k, body, r0 * (1.0 + 1e-9 * s))[0]
 
-    x, its, rn = run(b)
-    x.block_until_ready()
+        t_vc, _ = chain_diff(lambda s, k: vc_chain(M, xr, jnp.float32(s), k), 1, 9,
+                             "V-cycle chain")
+
+    @jax.jit
+    def solve(A_, M_, b_, rtol, atol, max_it):
+        return cg(A_.matvec, b_, M=M_, rtol=rtol, atol=atol, max_it=max_it)
+
+    run = lambda s, rtol, atol, mi: solve(A, M, b * (1.0 + 1e-9 * s), rtol, atol, mi)
+
+    # converged solve: iterations + rnorm from a real run, then per-iteration
+    # time via FIXED-iteration differencing (rtol=0 never converges)
     t0 = time.time()
-    x, its, rn = run(b * 1.000001)
-    x.block_until_ready()
-    t_solve = time.time() - t0
-    log(f"CG solve: its={int(its)} rnorm={float(rn):.2e} time={t_solve:.3f}s "
-        f"({t_solve/max(int(its),1)*1e3:.2f} ms/it)")
-    assert bool(jnp.isfinite(x).all())
+    x, its, rn = run(0.0, 1e-6, 1e-12, 3000)
+    rn_v, its_v = float(rn), int(its)
+    t_first = time.time() - t0  # includes compile on a cold cache
+    log(f"solve compile+first run: {t_first:.1f}s (its={its_v} rnorm={rn_v:.2e})")
+    assert np.isfinite(np.asarray(x)).all()
 
-    print(
-        json.dumps(
-            {
-                "metric": f"constrained_assembly_p{degree}_3d_periodic",
-                "value": round(mdof_s, 2),
-                "unit": "MDoF/s",
-                "vs_baseline": round(mdof_s / reference_mdof_s(n, degree), 3),
-            }
-        )
-    )
+    k_lo, k_hi = 2, max(its_v, 10)
+    t_lo = timed(lambda s: run(s, 0.0, 0.0, k_lo)[2])
+    t_hi = timed(lambda s: run(s, 0.0, 0.0, k_hi)[2])
+    per_it = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+    t_solve = per_it * its_v
+    wall = timed(lambda s: run(s, 1e-6, 1e-12, 3000)[2])
+    log(f"CG solve: its={its_v} rnorm={rn_v:.2e} device={t_solve*1e3:.1f}ms "
+        f"({per_it*1e3:.2f} ms/it) wall-with-relay={wall*1e3:.1f}ms")
+
+    result = {
+        "metric": f"constrained_assembly_p{degree}_3d_periodic",
+        "value": round(mdof_s, 2),
+        "unit": "MDoF/s",
+        "vs_baseline": round(mdof_s / reference_mdof_s(n, degree), 3),
+    }
+    if suspect:
+        result["suspect_noise_floor"] = True
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

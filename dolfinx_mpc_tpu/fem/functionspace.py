@@ -452,10 +452,21 @@ class DirichletBC:
 
     def dof_values(self, dtype=np.float64) -> np.ndarray:
         if isinstance(self.value, Function):
-            # a Function on a mixed field view stores field-local values;
-            # bc dofs are parent-global
-            voff = getattr(self.value.function_space, "dof_offset", 0)
-            return self.value.x.array[self.dofs - voff].astype(dtype)
+            # bc dofs are parent-global; the value Function either lives on
+            # the same offset field view (subtract its own offset) or on a
+            # collapsed/base sub-space — what split() returns — in which
+            # case the BC space's offset maps parent-global -> field-local
+            voff = (getattr(self.value.function_space, "dof_offset", 0)
+                    or getattr(self.V, "dof_offset", 0))
+            idx = self.dofs - voff
+            arr = self.value.x.array
+            if len(idx) and (idx.min() < 0 or idx.max() >= len(arr)):
+                raise ValueError(
+                    "DirichletBC value Function does not cover the bc dofs: "
+                    f"mapped index range [{idx.min()}, {idx.max()}] vs value "
+                    f"array of length {len(arr)} (dof_offset mismatch between "
+                    "the bc space and the value's function space?)")
+            return arr[idx].astype(dtype)
         v = np.asarray(self.value, dtype=dtype)
         if v.ndim == 0:
             return np.full(len(self.dofs), v, dtype=dtype)

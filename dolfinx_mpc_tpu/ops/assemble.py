@@ -360,10 +360,19 @@ def _bc_applies(bc, V) -> bool:
     """Does this bc act on (a field view of) V?  bcs on other spaces are
     ignored (nest blocks pass mixed-space bc lists, reference
     assemble_matrix.py:119-146)."""
+    if bc.V is V or getattr(bc.V, "mixed_parent", None) is V:
+        return True
+    # size fallback for rebuilt-but-equivalent spaces: equal size alone
+    # cross-applied BCs between distinct equal-sized nest blocks / mixed
+    # field views (a view carries parent-global dofs) — demand the same
+    # field view offset, block structure, and element degree too
     return (
-        bc.V is V
-        or getattr(bc.V, "mixed_parent", None) is V
-        or (bc.V.num_dofs == V.num_dofs and bc.V.mesh is V.mesh)
+        bc.V.num_dofs == V.num_dofs
+        and bc.V.mesh is V.mesh
+        and getattr(bc.V, "dof_offset", 0) == getattr(V, "dof_offset", 0)
+        and getattr(bc.V, "block_size", 1) == getattr(V, "block_size", 1)
+        and getattr(getattr(bc.V, "element", None), "degree", None)
+        == getattr(getattr(V, "element", None), "degree", None)
     )
 
 

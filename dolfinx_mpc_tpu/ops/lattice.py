@@ -109,8 +109,14 @@ class DIAMatrix:
         import os as _os
 
         if (bs == 1 and self.data.dtype == jnp.float32
+                and x.dtype == jnp.float32  # f64/complex x: XLA path keeps
+                # the promoted dtype; the pallas kernel would silently
+                # downcast (ADVICE r2)
                 and n0 * n1 * n2 >= 32768  # tiny (GMG-coarse) grids: XLA wins
-                and jax.default_backend() not in ("cpu",)
+                # Mosaic primitives are TPU-only (axon = tunneled TPU); a
+                # CUDA backend must fall back to the XLA path, not fail at
+                # lowering (ADVICE r2)
+                and jax.default_backend() in ("tpu", "axon")
                 and not _os.environ.get("DMT_NO_PALLAS")):
             from .pallas_lattice import dia_matvec_supported, make_dia_matvec_pallas
 
@@ -569,7 +575,7 @@ class CompiledLatticeForm:
                 from .pallas_lattice import make_lean_fold_pallas, pallas_supported
 
                 if (pallas_supported(self)
-                        and jax.default_backend() not in ("cpu",)
+                        and jax.default_backend() in ("tpu", "axon")
                         and not _os.environ.get("DMT_NO_PALLAS")):
                     self._pallas_raw = make_lean_fold_pallas(self)
                     self._assemble = jax.jit(self._assemble_fold_lean_pallas)
