@@ -110,11 +110,86 @@ def chain_diff(run_chain, k_lo, k_hi, label, floor=4e-3, k_max=4096):
     return max(per, 1e-9), suspect
 
 
+def _hier_code_hash():
+    """Hash of the sources that determine assembled coarse-level values —
+    keys the on-disk hierarchy cache so a kernel change invalidates it."""
+    import hashlib
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha1()
+    for p in ("dolfinx_mpc_tpu/ops/lattice.py",
+              "dolfinx_mpc_tpu/ops/pallas_lattice.py",
+              "dolfinx_mpc_tpu/ops/soa_kernels.py",
+              "dolfinx_mpc_tpu/la/gmg.py"):
+        h.update(open(os.path.join(base, p), "rb").read())
+    return h.hexdigest()[:12]
+
+
+def _load_or_build_hierarchy(make_level, n, degree, build_gmg_hierarchy):
+    """Coarse GMG levels (levels 1+) from a keyed disk cache: each is a few
+    MB of DIA data whose per-level host setup + remote assembly compile
+    otherwise costs ~15 s of the bench wall clock.  Level 0 is ALWAYS
+    assembled fresh (ops[0] is overwritten by the caller), so the cache can
+    never ship a stale fine operator."""
+    import jax.numpy as jnp
+
+    from dolfinx_mpc_tpu.ops.lattice import DIAMatrix, LatticeOperator
+
+    cache_dir = os.path.expanduser("~/.dmt_bench_cache")
+    path = os.path.join(cache_dir, f"gmgh_p{degree}_n{n}_{_hier_code_hash()}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        nlev = int(z["nlev"])
+        ops, masks = [None], [jnp.asarray(z["mask0"])]
+        for l in range(1, nlev):
+            dia = DIAMatrix(jnp.asarray(z[f"data{l}"]),
+                            tuple(tuple(int(v) for v in o) for o in z[f"offsets{l}"]),
+                            tuple(int(v) for v in z[f"vshape{l}"]), int(z[f"bs{l}"]))
+            fa = int(z[f"fold_axis{l}"])
+            op = LatticeOperator(
+                dia, jnp.zeros((0,), dia.data.dtype), None, None,
+                int(z[f"nrows{l}"]), diagval=jnp.asarray(z[f"diagval{l}"]),
+                fold_axis=None if fa < 0 else fa,
+                fold_mask=(jnp.asarray(z[f"fold_mask{l}"])
+                           if z[f"fold_mask{l}"].size else None),
+            )
+            ops.append(op)
+            masks.append(jnp.asarray(z[f"mask{l}"]))
+        log(f"GMG coarse levels from cache ({os.path.basename(path)})")
+        return ops, masks
+    ops, masks = build_gmg_hierarchy(make_level, n, 4, min_n=8)
+    if any(op._unassembled() or op.side_data.shape[0] for op in ops[1:]):
+        return ops, masks  # non-lean levels carry side blocks: don't cache
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        payload = {"nlev": len(ops), "mask0": np.asarray(masks[0])}
+        for l in range(1, len(ops)):
+            op = ops[l]
+            payload.update({
+                f"data{l}": np.asarray(op.dia.data),
+                f"offsets{l}": np.asarray(op.dia.offsets, np.int64),
+                f"vshape{l}": np.asarray(op.dia.vshape, np.int64),
+                f"bs{l}": op.dia.bs,
+                f"nrows{l}": op.side_nrows,
+                f"diagval{l}": np.asarray(op.diagval),
+                f"fold_axis{l}": -1 if op.fold_axis is None else op.fold_axis,
+                f"fold_mask{l}": (np.asarray(op.fold_mask)
+                                  if op.fold_mask is not None else np.zeros(0)),
+                f"mask{l}": np.asarray(masks[l]),
+            })
+        np.savez(path, **payload)
+    except Exception as e:  # cache is best-effort
+        log(f"hierarchy cache save failed ({e})")
+    return ops, masks
+
+
 def main():
     n = int(os.environ.get("BENCH_N", "64"))
     K = int(os.environ.get("BENCH_CHAIN", "33"))
     xchunks = int(os.environ.get("BENCH_XCHUNKS", "1"))
     degree = int(os.environ.get("BENCH_DEGREE", "1"))
+
+    import threading
 
     import jax
 
@@ -122,7 +197,14 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
-    log(f"devices: {jax.devices()}")
+    # backend init through the TPU tunnel is 10-90+ s of pure network wait
+    # (measured) — start it on a thread so the NUMPY-ONLY part of host setup
+    # (mesh/space/bc/mpc construction) overlaps the handshake.  The thread
+    # MUST be joined before the first eager jnp op (mpc.finalize): two
+    # threads racing into axon backend init deadlock the plugin.
+    init_t0 = time.time()
+    init_thread = threading.Thread(target=jax.devices, daemon=True)
+    init_thread.start()
 
     import dolfinx_mpc_tpu as dmt
     from dolfinx_mpc_tpu.fem.forms import grad, inner
@@ -143,6 +225,9 @@ def main():
         lambda x: np.stack([1.0 - x[0], x[1], x[2]]),
         [bc],
     )
+    init_thread.join()  # before the first eager jnp op (finalize)
+    log(f"devices: {jax.devices()} (init overlapped with mesh setup, "
+        f"{time.time()-init_t0:.1f}s since start)")
     mpc.finalize()
     a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)), quad_degree=degree)
     # side format preference: "fold" (plane identification — matching
@@ -166,10 +251,10 @@ def main():
     f = clf._assemble
     dv = jnp.asarray(1.0, jnp.float32)
     if clf._lean:
-        # lean fold: assembly is f(jitter, diagval, keep_grid) — coords
+        # lean fold: assembly is f(jitter, diagval, keep) — coords
         # synthesized on device; the seed perturbs the jitter to defeat the
         # tunnel's dispatch cache while keeping real per-cell geometry work
-        keepg = clf._keep_grid
+        keepg = clf._keep_arg  # blocked (degree-2) or fine keep grid
 
         @jax.jit
         def chain(j0, kg, k):
@@ -212,13 +297,14 @@ def main():
         t0 = time.time()
         jit_t = jnp.float32(3e-7)
         d_pl = f(jit_t, dv, keepg).dia
-        xla_asm = jax.jit(clf._assemble_fold_lean)
+        xla_asm = jax.jit(clf._assemble_fold_lean_blocked if clf._blocked_lean
+                          else clf._assemble_fold_lean)
         d_xla = xla_asm(jit_t, dv, keepg).dia
         num = float(jnp.max(jnp.abs(d_pl.data - d_xla.data)))
         den = float(jnp.max(jnp.abs(d_xla.data)))
         rel_a = num / max(den, 1e-30)
         # SpMV: same DIA data through both matvec paths
-        xr = jax.random.normal(jax.random.PRNGKey(0), (d_xla.data[0, 0, 0].size,),
+        xr = jax.random.normal(jax.random.PRNGKey(0), (d_xla.shape[0],),
                                dtype=jnp.float32)
         y_pl = jax.jit(lambda A_, x_: A_.matvec(x_))(d_xla, xr)
         os.environ["DMT_NO_PALLAS"] = "1"
@@ -232,7 +318,11 @@ def main():
 
     t_asm, suspect = chain_diff(run_chain, 1, K, "assembly chain")
     mdof_s = V.num_dofs / t_asm / 1e6
-    out_bytes = 4 * V.num_dofs * (len(clf.offsets) if clf._lean else 15)
+    if clf._lean and clf._blocked_lean:
+        out_vals = len(clf.trips) * int(np.prod(clf._cdims))
+    else:
+        out_vals = V.num_dofs * (len(clf.offsets) if clf._lean else 15)
+    out_bytes = 4 * out_vals
     eff_bw = out_bytes / t_asm / 1e9
     if eff_bw > 1200.0:  # physical guard: ~0.82 TB/s HBM on v5e
         suspect = True
@@ -289,7 +379,7 @@ def main():
                                                side_format="cells")
 
         t0 = time.time()
-        ops, masks = build_gmg_hierarchy(make_level, n, 4, min_n=8)
+        ops, masks = _load_or_build_hierarchy(make_level, n, degree, build_gmg_hierarchy)
         ops[0] = A
         M = LatticeGMG(ops, free_masks=masks)
         log(f"GMG hierarchy ({len(ops)} levels): {time.time()-t0:.1f}s")
@@ -312,8 +402,9 @@ def main():
     xr = b / jnp.maximum(jnp.linalg.norm(b), 1e-30)
     t_mv, _ = chain_diff(lambda s, k: mv_chain(A, xr, jnp.float32(s), k), 1, 33,
                          "fine SpMV chain")
-    log(f"  -> SpMV {15 if not clf._lean else len(clf.offsets)}-diag "
-        f"{4*2*V.num_dofs*(len(clf.offsets) if clf._lean else 15)/t_mv/1e9:.0f} GB/s effective")
+    log(f"  -> SpMV {len(clf.trips) if clf._blocked_lean else (len(clf.offsets) if clf._lean else 15)}"
+        f"-{'triple' if clf._blocked_lean else 'diag'} "
+        f"{(out_bytes + 2 * 4 * V.num_dofs)/t_mv/1e9:.0f} GB/s effective")
 
     if isinstance(M, _GMG):
         @jax.jit

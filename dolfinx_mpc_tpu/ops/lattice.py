@@ -187,6 +187,153 @@ class DIAMatrix:
 
 
 @jax.tree_util.register_pytree_node_class
+class BlockDIAMatrix:
+    """Parity-blocked stencil matrix for r-refined lattices (the degree-2
+    fast path).  Dofs are classified by their parity inside a coarse box
+    (vertex / edge / face / body families); each (row-class, col-class,
+    coarse-offset) triple stores ONE value per coarse box.  P2 tets need 230
+    triples vs the refined 65-diagonal DIA's 65*8 = 520 values per box —
+    2.26x fewer operator bytes, which bound both assembly and SpMV (the
+    VERDICT r2 "compressed P2 operator / per-family stencils" design).
+
+    data: (n_trip, s0, s1, s2) over the PADDED class grid
+    s = ceil(vshape / r3); trips[m] = (cls_row, cls_col, off) with off in
+    coarse boxes.  Padded rows/cols hold exact zeros (assembly never writes
+    them, the x split pads with zeros), so matvec is plain shifted slice
+    FMAs on the uniform padded grid.  Replaces the same reference operator
+    as DIAMatrix (cpp/assemble_matrix.cpp per-cell CSR); scalar only.
+    """
+
+    def __init__(self, data, trips, vshape, r3, bs=1):
+        assert bs == 1, "blocked stencil path is scalar-only"
+        self.data = data
+        self.trips = trips  # host tuple of ((p0,p1,p2), (q0,q1,q2), (di,dj,dk))
+        self.vshape = vshape
+        self.r3 = r3
+        self.bs = bs
+
+    def tree_flatten(self):
+        return (self.data,), (self.trips, self.vshape, self.r3, self.bs)
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        obj = cls.__new__(cls)
+        obj.data = ch[0]
+        obj.trips, obj.vshape, obj.r3, obj.bs = aux
+        return obj
+
+    @property
+    def cdims(self):
+        return tuple(-(-n // r) for n, r in zip(self.vshape, self.r3))
+
+    @property
+    def classes(self):
+        import itertools
+
+        return tuple(itertools.product(*(range(r) for r in self.r3)))
+
+    @property
+    def shape(self):
+        n = int(np.prod(self.vshape))
+        return (n, n)
+
+    def _to_blocked(self, x):
+        """fine (n0, n1, n2) flat vector -> (n_classes, s0, s1, s2) padded
+        class stack (class-major split by refined parity)."""
+        n0, n1, n2 = self.vshape
+        r0, r1, r2 = self.r3
+        s0, s1, s2 = self.cdims
+        xf = x.reshape(n0, n1, n2)
+        xp = jnp.pad(xf, ((0, r0 * s0 - n0), (0, r1 * s1 - n1), (0, r2 * s2 - n2)))
+        return (xp.reshape(s0, r0, s1, r1, s2, r2)
+                .transpose(1, 3, 5, 0, 2, 4)
+                .reshape(-1, s0, s1, s2))
+
+    def _from_blocked(self, yb):
+        n0, n1, n2 = self.vshape
+        r0, r1, r2 = self.r3
+        s0, s1, s2 = self.cdims
+        yf = (yb.reshape(r0, r1, r2, s0, s1, s2)
+              .transpose(3, 0, 4, 1, 5, 2)
+              .reshape(r0 * s0, r1 * s1, r2 * s2))
+        return yf[:n0, :n1, :n2].reshape(-1)
+
+    def matvec(self, x):
+        import os as _os
+
+        s0, s1, s2 = self.cdims
+        xb = self._to_blocked(x)
+        if (self.data.dtype == jnp.float32 and x.dtype == jnp.float32
+                and s0 * s1 * s2 >= 16384
+                and jax.default_backend() in ("tpu", "axon")
+                and not _os.environ.get("DMT_NO_PALLAS")):
+            from .pallas_lattice import make_blocked_matvec_pallas
+
+            mv = make_blocked_matvec_pallas(self.trips, self.vshape, self.r3)
+            if mv is not None:
+                return self._from_blocked(mv(self.data, xb))
+        cls_id = {c: i for i, c in enumerate(self.classes)}
+        yb = jnp.zeros_like(xb)
+        for m, (cr, cc, off) in enumerate(self.trips):
+            di, dj, dk = off
+            dst = (
+                slice(max(-di, 0), s0 - max(di, 0)),
+                slice(max(-dj, 0), s1 - max(dj, 0)),
+                slice(max(-dk, 0), s2 - max(dk, 0)),
+            )
+            src = (
+                slice(max(di, 0), s0 + min(di, 0)),
+                slice(max(dj, 0), s1 + min(dj, 0)),
+                slice(max(dk, 0), s2 + min(dk, 0)),
+            )
+            yb = yb.at[(cls_id[cr],) + dst].add(
+                self.data[(m,) + dst] * xb[(cls_id[cc],) + src]
+            )
+        return self._from_blocked(yb)
+
+    def diagonal(self):
+        s0, s1, s2 = self.cdims
+        cls_id = {c: i for i, c in enumerate(self.classes)}
+        rows = [None] * len(self.classes)
+        for m, (cr, cc, off) in enumerate(self.trips):
+            if cr == cc and off == (0, 0, 0):
+                rows[cls_id[cr]] = self.data[m]
+        zero = jnp.zeros((s0, s1, s2), self.data.dtype)
+        db = jnp.stack([r if r is not None else zero for r in rows])
+        return self._from_blocked(db)
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        n0, n1, n2 = self.vshape
+        s0, s1, s2 = self.cdims
+        r0, r1, r2 = self.r3
+        N = n0 * n1 * n2
+        data = np.asarray(self.data)
+        Q0, Q1, Q2 = np.meshgrid(
+            np.arange(s0), np.arange(s1), np.arange(s2), indexing="ij"
+        )
+        rows, cols, vals = [], [], []
+        for m, (cr, cc, off) in enumerate(self.trips):
+            fi = r0 * Q0 + cr[0]
+            fj = r1 * Q1 + cr[1]
+            fk = r2 * Q2 + cr[2]
+            gi = r0 * (Q0 + off[0]) + cc[0]
+            gj = r1 * (Q1 + off[1]) + cc[1]
+            gk = r2 * (Q2 + off[2]) + cc[2]
+            ok = ((fi < n0) & (fj < n1) & (fk < n2)
+                  & (gi >= 0) & (gi < n0) & (gj >= 0) & (gj < n1)
+                  & (gk >= 0) & (gk < n2))
+            rows.append(((fi * n1 + fj) * n2 + fk)[ok])
+            cols.append(((gi * n1 + gj) * n2 + gk)[ok])
+            vals.append(data[m][ok])
+        return sp.csr_matrix(
+            (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+            shape=(N, N),
+        )
+
+
+@jax.tree_util.register_pytree_node_class
 class LatticeOperator:
     """DIA stencil + MPC/BC side corrections.
 
@@ -551,6 +698,7 @@ class CompiledLatticeForm:
         # on device from iota, bc zeroing happens on the assembled DIA grid.
         # This is what makes 10M-dof setup O(surface) instead of O(cells). --
         self._lean = False
+        self._blocked_lean = False
         if self.kernel_soa is not None and self.side_format == "fold":
             self._fold_axis, fold_mask, self._fold_pairs = _detect_lattice_wrap(
                 mpc_r, self.vshape, bs
@@ -566,6 +714,7 @@ class CompiledLatticeForm:
                     np.moveaxis(keep, -1, 0).copy().astype(_real_dtype(self.dtype))
                 )
                 self.pattern = None
+                self._keep_arg = self._keep_grid
                 # fused pallas assembler (flagship P1 config, DEFAULT on
                 # accelerators — 1560 MDoF/s vs 149 for the XLA lean path at
                 # n=128; one plane-program pass, no O(cells) intermediates so
@@ -574,9 +723,26 @@ class CompiledLatticeForm:
 
                 from .pallas_lattice import make_lean_fold_pallas, pallas_supported
 
-                if (pallas_supported(self)
-                        and jax.default_backend() in ("tpu", "axon")
-                        and not _os.environ.get("DMT_NO_PALLAS")):
+                on_accel = jax.default_backend() in ("tpu", "axon")
+                use_pallas = (pallas_supported(self) and on_accel
+                              and not _os.environ.get("DMT_NO_PALLAS"))
+                # parity-blocked layout for refined (degree-2) lattices:
+                # 2.26x fewer operator bytes than the 65-diagonal refined DIA
+                if r > 1 and bs == 1 and not _os.environ.get("DMT_NO_BLOCKED"):
+                    self._blocked_lean = True
+                    self._build_blocked_structure(
+                        keep.reshape(n0, n1, n2).astype(_real_dtype(self.dtype))
+                    )
+                    self._keep_arg = self._keep_blocked
+                    if use_pallas:
+                        from .pallas_lattice import make_lean_blocked_pallas
+
+                        self._pallas_raw = make_lean_blocked_pallas(self)
+                        self._assemble = jax.jit(self._assemble_fold_lean_blocked_pallas)
+                    else:
+                        self._assemble = jax.jit(self._assemble_fold_lean_blocked)
+                    return
+                if use_pallas:
                     self._pallas_raw = make_lean_fold_pallas(self)
                     self._assemble = jax.jit(self._assemble_fold_lean_pallas)
                 elif self.x_chunks > 1:
@@ -1019,6 +1185,146 @@ class CompiledLatticeForm:
             data = data.at[zid, ci, ci].add(dg[:, :, :, ci])
         return data
 
+    # ------------------------------------------------------------------
+    # parity-blocked (degree-2) lean path: see BlockDIAMatrix
+    # ------------------------------------------------------------------
+    def _build_blocked_structure(self, keep_fine):
+        """Classify every move by (row parity class, col parity class,
+        coarse offset) and precompute the padded per-class keep masks.
+        keep_fine: host (n0, n1, n2) array, 1.0 on non-bc dofs."""
+        import itertools
+
+        deltas = self._deltas
+        r3 = self.r3
+        self._cdims = tuple(-(-n // r) for n, r in zip(self.vshape, r3))
+        self._classes = tuple(itertools.product(*(range(r) for r in r3)))
+        tripmap = {}
+        self._bmoves = []  # (t, a, b, trip_id, (sx, sy, sz) corner shift)
+        for t, a, b, oid, da in self.moves:
+            db_ = tuple(int(v) for v in deltas[t, b])
+            cr = tuple(int(da[i]) % r3[i] for i in range(3))
+            cc = tuple(db_[i] % r3[i] for i in range(3))
+            off = tuple(db_[i] // r3[i] - int(da[i]) // r3[i] for i in range(3))
+            m = tripmap.setdefault((cr, cc, off), len(tripmap))
+            self._bmoves.append(
+                (t, a, b, m, tuple(int(da[i]) // r3[i] for i in range(3)))
+            )
+        trips = tuple(tripmap.keys())
+        # order triples x-parity-contiguously: the pallas SpMV issues one
+        # call per row x-parity and must slice (not gather) its data rows
+        order = sorted(range(len(trips)), key=lambda m: trips[m][0][0])
+        remap = {old: new for new, old in enumerate(order)}
+        self.trips = tuple(trips[o] for o in order)
+        self._bmoves = [(t, a, b, remap[m], sh) for t, a, b, m, sh in self._bmoves]
+        s0, s1, s2 = self._cdims
+        kb = np.zeros((len(self._classes), s0, s1, s2), np.asarray(keep_fine).dtype)
+        for i, (p0, p1, p2) in enumerate(self._classes):
+            g = np.asarray(keep_fine)[p0::r3[0], p1::r3[1], p2::r3[2]]
+            kb[i, : g.shape[0], : g.shape[1], : g.shape[2]] = g
+        self._keep_blocked = jnp.asarray(kb)
+
+    def _grouped_bmoves(self):
+        grouped = {}
+        for t, a, b, m, sh in self._bmoves:
+            grouped.setdefault((m, sh), []).append((t, a, b))
+        return grouped
+
+    def _pack_blocked(self, fill, nb, zdtype):
+        """Blocked analogue of _pack: accumulate per-(triple, corner-shift)
+        box blocks onto the padded class grids — edge pads only, no interior
+        pad, no upsampling (the compression IS the layout)."""
+        s = self._cdims
+        zero = (np.zeros((), zdtype).item()
+                if np.dtype(zdtype).kind != "c" else np.dtype(zdtype).type(0))
+        parts = [None] * len(self.trips)
+        for (m, sh), tab in self._grouped_bmoves().items():
+            blk = fill(tab)
+            cfg = tuple((sh[d], s[d] - sh[d] - nb[d], 0) for d in range(3))
+            padded = jax.lax.pad(blk, jnp.asarray(zero, blk.dtype), cfg)
+            parts[m] = padded if parts[m] is None else parts[m] + padded
+        return jnp.stack(parts)
+
+    def _zero_bc_blocked(self, data, keep_blocked):
+        """Blocked analogue of _zero_bc_on_grid: entry (r, r+off) dies iff
+        either end is a bc dof, applied per class pair on the padded grids."""
+        if self._bc_dofs_grid.shape[0] == 0:
+            return data
+        s0, s1, s2 = self._cdims
+        cls_id = {c: i for i, c in enumerate(self._classes)}
+        kb = keep_blocked.astype(data.dtype)
+        rows = []
+        for m, (cr, cc, off) in enumerate(self.trips):
+            di, dj, dk = off
+            src = (
+                cls_id[cc],
+                slice(max(di, 0), s0 + min(di, 0)),
+                slice(max(dj, 0), s1 + min(dj, 0)),
+                slice(max(dk, 0), s2 + min(dk, 0)),
+            )
+            pad = (
+                (max(-di, 0), max(di, 0)),
+                (max(-dj, 0), max(dj, 0)),
+                (max(-dk, 0), max(dk, 0)),
+            )
+            kcol = jnp.pad(kb[src], pad)
+            rows.append(data[m] * kb[cls_id[cr]] * kcol)
+        return jnp.stack(rows)
+
+    def _diag_adds_blocked(self, data, diagval):
+        """Add diagval on Dirichlet diagonals (per-class surface scatter)."""
+        if not self._bc_dofs_grid.shape[0]:
+            return data
+        n0, n1, n2 = self.vshape
+        r0, r1, r2 = self.r3
+        s0, s1, s2 = self._cdims
+        diag_add = jnp.zeros(self.V.num_dofs, dtype=data.dtype)
+        diag_add = diag_add.at[self._bc_dofs_grid].add(diagval)
+        dp = jnp.pad(diag_add.reshape(n0, n1, n2),
+                     ((0, r0 * s0 - n0), (0, r1 * s1 - n1), (0, r2 * s2 - n2)))
+        db = (dp.reshape(s0, r0, s1, r1, s2, r2)
+              .transpose(1, 3, 5, 0, 2, 4).reshape(-1, s0, s1, s2))
+        cls_id = {c: i for i, c in enumerate(self._classes)}
+        for m, (cr, cc, off) in enumerate(self.trips):
+            if cr == cc and off == (0, 0, 0):
+                data = data.at[m].add(db[cls_id[cr]])
+        return data
+
+    def _assemble_fold_lean_blocked(self, jitter, diagval, keep_blocked):
+        """Lean fold assembly into the parity-blocked layout (XLA path;
+        same element kernel, blocked packing).  Mirrors
+        _assemble_fold_lean / reference assemble_matrix.cpp:488-547."""
+        lat = self.lat
+        nx, ny, nz_ = lat.dims
+        T = lat.cells_per_box
+        nzc = 1 if self.mesh.tdim == 2 else nz_
+
+        Ae = self.kernel_soa(self._synth_coords(jitter, "tmajor"), {})
+        nd = Ae.shape[0]
+        Ae_grid = Ae.reshape(nd, nd, T, nx, ny, nzc)
+        data = self._pack_blocked(
+            lambda tab: sum(Ae_grid[a, b, t] for t, a, b in tab),
+            (nx, ny, nzc), Ae.dtype,
+        )
+        data = self._zero_bc_blocked(data, keep_blocked)
+        data = self._diag_adds_blocked(data, diagval)
+        dia = BlockDIAMatrix(data, self.trips, self.vshape, self.r3, self.bs)
+        return LatticeOperator(
+            dia, jnp.zeros((0,), Ae.dtype), None, None, self.V.num_dofs,
+            diagval=diagval, fold_axis=self._fold_axis, fold_mask=self._fold_mask,
+        )
+
+    def _assemble_fold_lean_blocked_pallas(self, jitter, diagval, keep_blocked):
+        """Blocked contract via the fused pallas kernel
+        (ops/pallas_lattice.py:make_lean_blocked_pallas)."""
+        data = self._pallas_raw(jitter)  # (n_trip, s0, s1, s2) unmasked
+        data = self._zero_bc_blocked(data, keep_blocked)
+        data = self._diag_adds_blocked(data, diagval)
+        dia = BlockDIAMatrix(data, self.trips, self.vshape, self.r3, self.bs)
+        return LatticeOperator(
+            dia, jnp.zeros((0,), data.dtype), None, None, self.V.num_dofs,
+            diagval=diagval, fold_axis=self._fold_axis, fold_mask=self._fold_mask,
+        )
+
     def _assemble_fold_lean(self, jitter, diagval, keep_grid):
         lat = self.lat
         nx, ny, nz_ = lat.dims
@@ -1107,7 +1413,7 @@ class CompiledLatticeForm:
             op = self._assemble(
                 jnp.asarray(0.0, _real_dtype(self.dtype)),
                 jnp.asarray(self.diagval, self.dtype),
-                self._keep_grid,
+                self._keep_arg,
             )
             op.fold_pairs = self._fold_pairs
             return op

@@ -28,7 +28,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["make_lean_fold_pallas", "pallas_supported"]
+__all__ = ["make_lean_fold_pallas", "make_lean_blocked_pallas",
+           "make_blocked_matvec_pallas", "pallas_supported"]
+
+
+def _plane_budget(n1, n2, reserve=0):
+    """How many (1, n1, n2) f32 plane blocks fit the ~16MB scoped-VMEM
+    budget, counting the Mosaic (8, 128) TILE PADDING (dominant for small
+    planes: 55x55 pads 2.4x to 56x128) and double buffering.  The 26-bytes
+    per padded point constant is calibrated from a measured 17.78MB
+    footprint for 15 offsets at 217x217; `reserve` subtracts always-resident
+    extra planes (kernel inputs/outputs)."""
+    padded = (-(-n1 // 8) * 8) * (-(-n2 // 128) * 128)
+    return max(1, int(13e6 / (26 * padded)) - reserve)
 
 
 def _probe_constant_M(term, gdim):
@@ -101,12 +113,9 @@ def make_lean_fold_pallas(clf, interpret=False, max_off=None):
     n0, n1, n2 = clf.vshape
     offsets = clf.offsets
     n_off = len(offsets)
-    # offsets per call bounded by the 16MB scoped-VMEM limit.  Empirical
-    # footprint (Mosaic stack, incl. double buffering and tile padding):
-    # 17.78MB for 15 offsets at 217x217 planes -> ~26 bytes per (offset,
-    # plane point); budget 13MB leaves headroom for the input planes.
+    # offsets per call bounded by the 16MB scoped-VMEM limit (tile-padded)
     if max_off is None:
-        max_off = max(1, int(13e6 / (26 * n1 * n2)))
+        max_off = _plane_budget(n1, n2)
     if max_off >= n_off:
         return _make_lean_fold_pallas_group(clf, list(range(n_off)), interpret)
     groups = [list(range(i, min(i + max_off, n_off))) for i in range(0, n_off, max_off)]
@@ -183,6 +192,11 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False):
             if r == 1:
                 out_ref[oid, 0, day : day + ny, daz : daz + nz] += ae
                 return
+            # NOTE: pltpu.repeat is TILE semantics (not element-repeat).
+            # This upsample is correct ONLY because the lean path implies a
+            # uniform lattice: every box is geometrically identical, so `ae`
+            # is lane-CONSTANT and tile == element-repeat.  An x-dependent
+            # coefficient extension must not reuse this placement.
             up = pltpu.repeat(pltpu.repeat(ae, r, axis=0), r, axis=1) * parity
             w1 = min(r * ny, n1 - day)
             w2 = min(r * nz, n2 - daz)
@@ -293,6 +307,35 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# parity-blocked (degree-2) assembler: the blocked layout turns the refined
+# placement into r=1 placement on the coarse class grids, so the existing
+# plane-program kernel applies verbatim through a view that swaps
+# (vshape, offsets, moves, refine) -> (cdims, trips, bmoves, 1).  No
+# pltpu.repeat upsampling, no parity masks, 2.26x fewer output bytes than
+# the refined 65-diagonal DIA (see lattice.BlockDIAMatrix).
+# ---------------------------------------------------------------------------
+
+
+class _BlockedView:
+    """Adapter presenting a blocked CompiledLatticeForm as an r=1 lean form
+    over the padded class grids."""
+
+    def __init__(self, clf):
+        self._clf = clf
+        self.vshape = clf._cdims
+        self.offsets = clf.trips  # ids only: the kernel places via move shifts
+        self.moves = clf._bmoves  # (t, a, b, trip_id, (sx, sy, sz))
+        self.refine = 1
+
+    def __getattr__(self, k):
+        return getattr(self._clf, k)
+
+
+def make_lean_blocked_pallas(clf, interpret=False, max_off=None):
+    return make_lean_fold_pallas(_BlockedView(clf), interpret, max_off)
+
+
+# ---------------------------------------------------------------------------
 # DIA matvec kernel: y[p] = sum_d data[d, p] * shift_{dj,dk}( x[p + di] )
 # ---------------------------------------------------------------------------
 
@@ -310,7 +353,7 @@ def make_dia_matvec_pallas(offsets, vshape, interpret=False, max_off=None):
     sum."""
     n0, n1, n2 = vshape
     if max_off is None:
-        max_off = max(1, int(13e6 / (26 * n1 * n2)))
+        max_off = _plane_budget(n1, n2, reserve=2 * max(abs(d[0]) for d in offsets) + 1)
     n_off = len(offsets)
     if max_off >= n_off:
         return _make_dia_matvec_group(offsets, vshape, interpret)
@@ -382,6 +425,101 @@ def _make_dia_matvec_group(offsets, vshape, interpret=False):
         planes = [xp[s : s + n0] for s in range(2 * W + 1)]
         y = call(*planes, data[:, 0, 0])
         return y.reshape(-1)
+
+    _matvec_cache[key] = matvec
+    return matvec
+
+
+
+# ---------------------------------------------------------------------------
+# parity-blocked SpMV: BLOCKED vectors, compressed (per-triple) data.
+# Vectors are split into padded parity-class grids OUTSIDE the kernel
+# (BlockDIAMatrix._to_blocked, plain XLA); every lane in the kernel is a
+# COARSE class-grid point, so each triple is one roll+mask+FMA with NO
+# upsampling.  (pltpu.repeat is TILE semantics, so upsampling non-constant
+# data planes in-kernel is not expressible — and unnecessary here.)  HBM
+# data traffic is the compressed 230-triple volume: 2.26x less than the
+# refined 65-diagonal DIA SpMV this replaces.
+# ---------------------------------------------------------------------------
+
+
+def make_blocked_matvec_pallas(trips, vshape, r3, interpret=False, max_m=None):
+    """Build matvec(data, xb) -> yb on PADDED BLOCKED grids
+    (n_classes, s0, s1, s2); returns None when unsupported (2D)."""
+    key = ("blk", tuple(trips), tuple(vshape), tuple(r3), interpret)
+    if key in _matvec_cache:
+        return _matvec_cache[key]
+    n0, n1, n2 = vshape
+    r0, r1, r2 = r3
+    if n2 <= 1 or r0 != 2:
+        return None
+    s0, s1, s2 = (-(-n // r) for n, r in zip(vshape, r3))
+    import itertools
+
+    classes = tuple(itertools.product(range(r0), range(r1), range(r2)))
+    cls_id = {c: i for i, c in enumerate(classes)}
+    n_cls = len(classes)
+    W = max(abs(off[0]) for _, _, off in trips)  # coarse x halo (1)
+    if max_m is None:
+        max_m = _plane_budget(s1, s2, reserve=(2 * W + 2) * n_cls)
+
+    def make_call(sub):
+        """sub: list of (global_m, trip); data rows sliced contiguously."""
+        n_m = len(sub)
+
+        def kernel(*refs):
+            x_refs = refs[: 2 * W + 1]
+            d_ref, y_ref = refs[2 * W + 1], refs[2 * W + 2]
+            jj = jax.lax.broadcasted_iota(jnp.int32, (s1, s2), 0)
+            kk = jax.lax.broadcasted_iota(jnp.int32, (s1, s2), 1)
+            acc = [None] * n_cls
+            for mi, (gm, (cr, cc, off)) in enumerate(sub):
+                ci, cj = cls_id[cr], cls_id[cc]
+                sh = x_refs[off[0] + W][cj, 0]
+                if off[1]:
+                    sh = pltpu.roll(sh, -off[1] % s1, 0)
+                if off[2]:
+                    sh = pltpu.roll(sh, -off[2] % s2, 1)
+                valid = ((jj + off[1] >= 0) & (jj + off[1] < s1)
+                         & (kk + off[2] >= 0) & (kk + off[2] < s2))
+                term = d_ref[mi, 0] * jnp.where(valid, sh, 0.0)
+                acc[ci] = term if acc[ci] is None else acc[ci] + term
+            zero = jnp.zeros((s1, s2), jnp.float32)
+            y_ref[:, 0] = jnp.stack([a if a is not None else zero for a in acc])
+
+        xspec = [
+            pl.BlockSpec((n_cls, 1, s1, s2), (lambda p, s=s: (0, p + s, 0, 0)),
+                         memory_space=pltpu.VMEM)
+            for s in range(2 * W + 1)
+        ]
+        grid_spec = pl.GridSpec(
+            grid=(s0,),
+            in_specs=xspec + [
+                pl.BlockSpec((n_m, 1, s1, s2), lambda p: (0, p, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n_cls, 1, s1, s2), lambda p: (0, p, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_cls, s0, s1, s2), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )
+
+    subs = [list(enumerate(trips))[i: i + max_m]
+            for i in range(0, len(trips), max_m)]
+    calls = [(make_call(sub), sub[0][0], sub[-1][0] + 1) for sub in subs if sub]
+
+    def matvec(data, xb):
+        # data: (n_trip, s0, s1, s2); xb: (n_cls, s0, s1, s2) padded blocked
+        xp = jnp.pad(xb, ((0, 0), (W, W), (0, 0), (0, 0)))
+        y = None
+        for call, g0, g1 in calls:
+            yg = call(*([xp] * (2 * W + 1)), data[g0:g1])
+            y = yg if y is None else y + yg
+        return y
 
     _matvec_cache[key] = matvec
     return matvec

@@ -168,3 +168,140 @@ def test_pallas_matvec_offset_split():
     one = make_dia_matvec_pallas(dia.offsets, dia.vshape, interpret=True)(dia.data, x)
     split = make_dia_matvec_pallas(dia.offsets, dia.vshape, interpret=True, max_off=4)(dia.data, x)
     assert np.abs(np.asarray(one) - np.asarray(split)).max() < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# parity-blocked (degree-2) path
+# ---------------------------------------------------------------------------
+
+
+def _clf_p2(n=4):
+    mesh = create_unit_cube(n, n, n)
+    V = dmt.functionspace(mesh, ("Lagrange", 2))
+    bdofs = dmt.locate_dofs_geometrical(
+        V, lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], 1.0)
+    )
+    bc = dmt.dirichletbc(0.0, bdofs, V)
+    mpc = dmt.MultiPointConstraint(V, dtype=np.float32)
+    mpc.create_periodic_constraint_geometrical(
+        V, lambda x: np.isclose(x[0], 1.0),
+        lambda x: np.stack([1.0 - x[0], x[1], x[2]]), [bc],
+    )
+    mpc.finalize()
+    a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)), quad_degree=2)
+    clf = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32, side_format="fold")
+    assert clf._lean and clf._blocked_lean
+    return clf
+
+
+def test_blocked_operator_matches_refined_dia():
+    """The parity-blocked P2 operator is ENTRY-IDENTICAL to the refined
+    65-diagonal DIA operator (same matrix, 2.26x fewer stored bytes)."""
+    import os
+
+    clf_b = _clf_p2(4)
+    os.environ["DMT_NO_BLOCKED"] = "1"
+    try:
+        clf_d = _clf_p2.__wrapped__(4) if hasattr(_clf_p2, "__wrapped__") else None
+    finally:
+        pass
+    # rebuild without the blocked layout
+    mesh = create_unit_cube(4, 4, 4)
+    V = dmt.functionspace(mesh, ("Lagrange", 2))
+    bdofs = dmt.locate_dofs_geometrical(
+        V, lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], 1.0)
+    )
+    bc = dmt.dirichletbc(0.0, bdofs, V)
+    mpc = dmt.MultiPointConstraint(V, dtype=np.float32)
+    mpc.create_periodic_constraint_geometrical(
+        V, lambda x: np.isclose(x[0], 1.0),
+        lambda x: np.stack([1.0 - x[0], x[1], x[2]]), [bc],
+    )
+    mpc.finalize()
+    a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)), quad_degree=2)
+    clf_d = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32, side_format="fold")
+    del os.environ["DMT_NO_BLOCKED"]
+    assert not clf_d._blocked_lean
+    A_b = clf_b.assemble().dia.to_scipy()
+    A_d = clf_d.assemble().dia.to_scipy()
+    err = abs(A_b - A_d).max()
+    assert err < 5e-5 * max(abs(A_d).max(), 1.0), err
+    # matvec agreement on the fine-layout vectors
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(A_b.shape[0]).astype(np.float32))
+    y_b = np.asarray(clf_b.assemble().dia.matvec(x))
+    y_d = np.asarray(clf_d.assemble().dia.matvec(x))
+    assert np.abs(y_b - y_d).max() < 5e-4 * max(np.abs(y_d).max(), 1.0)
+    # diagonal agreement
+    d_b = np.asarray(clf_b.assemble().dia.diagonal())
+    d_d = np.asarray(clf_d.assemble().dia.diagonal())
+    assert np.abs(d_b - d_d).max() < 5e-5 * max(np.abs(d_d).max(), 1.0)
+
+
+def test_blocked_pallas_assembler_matches_xla():
+    """make_lean_blocked_pallas (interpret) == the XLA blocked packer."""
+    import jax.numpy as jnp
+
+    from dolfinx_mpc_tpu.ops.pallas_lattice import make_lean_blocked_pallas
+
+    clf = _clf_p2(3)
+    dv = jnp.asarray(1.0, jnp.float32)
+    jit = jnp.asarray(0.013, jnp.float32)
+    ref = clf._assemble_fold_lean_blocked(jit, dv, clf._keep_blocked)
+    pal = make_lean_blocked_pallas(clf, interpret=True)
+    data_p = jnp.asarray(np.asarray(pal(jit)))
+    data_p = clf._zero_bc_blocked(data_p, clf._keep_blocked)
+    data_p = np.asarray(clf._diag_adds_blocked(data_p, dv))
+    ref_d = np.asarray(ref.dia.data)
+    err = np.abs(ref_d - data_p).max()
+    scale = np.abs(ref_d).max()
+    assert err < 5e-6 * max(scale, 1.0), (err, scale)
+
+
+def test_blocked_pallas_assembler_split_matches():
+    import jax.numpy as jnp
+
+    from dolfinx_mpc_tpu.ops.pallas_lattice import make_lean_blocked_pallas
+
+    clf = _clf_p2(3)
+    jit = jnp.asarray(0.02, jnp.float32)
+    one = make_lean_blocked_pallas(clf, interpret=True)(jit)
+    split = make_lean_blocked_pallas(clf, interpret=True, max_off=37)(jit)
+    assert np.abs(np.asarray(one) - np.asarray(split)).max() < 1e-6
+
+
+def test_blocked_pallas_matvec_matches():
+    """Blocked pallas SpMV (blocked-layout vectors, compressed data,
+    interpret) == the XLA blocked matvec."""
+    import jax.numpy as jnp
+
+    from dolfinx_mpc_tpu.ops.pallas_lattice import make_blocked_matvec_pallas
+
+    clf = _clf_p2(4)
+    dia = clf.assemble().dia
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(dia.shape[0]).astype(np.float32))
+    y_ref = np.asarray(dia.matvec(x))
+    mv = make_blocked_matvec_pallas(dia.trips, dia.vshape, dia.r3, interpret=True)
+    assert mv is not None
+    y_pal = np.asarray(dia._from_blocked(mv(dia.data, dia._to_blocked(x))))
+    scale = np.abs(y_ref).max()
+    assert np.abs(y_pal - y_ref).max() < 5e-6 * max(scale, 1.0)
+
+
+def test_blocked_pallas_matvec_split_matches():
+    import jax.numpy as jnp
+
+    from dolfinx_mpc_tpu.ops.pallas_lattice import make_blocked_matvec_pallas
+
+    clf = _clf_p2(3)
+    dia = clf.assemble().dia
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(dia.shape[0]).astype(np.float32))
+    xb = dia._to_blocked(x)
+    one = make_blocked_matvec_pallas(dia.trips, dia.vshape, dia.r3, interpret=True)
+    split = make_blocked_matvec_pallas(dia.trips, dia.vshape, dia.r3,
+                                       interpret=True, max_m=29)
+    assert np.abs(np.asarray(one(dia.data, xb)) - np.asarray(split(dia.data, xb))).max() < 1e-5
