@@ -13,7 +13,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def run(nb, nt, rtol, out, max_it=8000, cheb=False, seg=100):
+def run(nb, nt, rtol, out, max_it=8000, cheb=False, seg=100, pc="amg",
+        bell=True):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -75,10 +76,27 @@ def run(nb, nt, rtol, out, max_it=8000, cheb=False, seg=100):
     # a single long execution is killed by this environment's TPU tunnel
     from dolfinx_mpc_tpu.la.solvers import cg_segmented
 
-    x, its, rn = cg_segmented(A, b, rtol=rtol, max_it=max_it, seg=seg)
+    # the reference solves this with GAMG (bench_contact_3D.py:186-213);
+    # smoothed-aggregation AMG (la/amg.py) is the TPU counterpart, and the
+    # BELL tile format (la/bell.py) replaces the scalar segment_sum SpMV
+    t0 = time.time()
+    As = A.to_scipy()
+    M = None
+    if pc == "amg":
+        from dolfinx_mpc_tpu.la.amg import smoothed_aggregation_amg
+
+        M = smoothed_aggregation_amg(As, bs=3, dtype=np.float32)
+    Aop = A
+    if bell:
+        from dolfinx_mpc_tpu.la.bell import bell_from_scipy
+
+        Aop = bell_from_scipy(As, dtype=np.float32)
+    timings["pc+format setup"] = time.time() - t0
+
+    x, its, rn = cg_segmented(Aop, b, M=M, rtol=rtol, max_it=max_it, seg=seg)
     jax.block_until_ready(x)
     t0 = time.time()
-    x, its, rn = cg_segmented(A, b, rtol=rtol, max_it=max_it, seg=seg)
+    x, its, rn = cg_segmented(Aop, b, M=M, rtol=rtol, max_it=max_it, seg=seg)
     jax.block_until_ready(x)
     timings["solve"] = time.time() - t0
     t0 = time.time()
@@ -104,6 +122,10 @@ if __name__ == "__main__":
     p.add_argument("--max-it", type=int, default=8000)
     p.add_argument("--cheb", action="store_true")
     p.add_argument("--seg", type=int, default=100, help="CG iterations per device dispatch")
+    p.add_argument("--pc", choices=["amg", "jacobi"], default="amg")
+    p.add_argument("--no-bell", action="store_true",
+                   help="keep the CSR segment_sum SpMV instead of BELL tiles")
     p.add_argument("--out", default="results_bench_contact.txt")
     args = p.parse_args()
-    run(args.nb, args.nt, args.rtol, args.out, max_it=args.max_it, cheb=args.cheb, seg=args.seg)
+    run(args.nb, args.nt, args.rtol, args.out, max_it=args.max_it, cheb=args.cheb,
+        seg=args.seg, pc=args.pc, bell=not args.no_bell)

@@ -1,0 +1,308 @@
+"""Algebraic multigrid (smoothed aggregation) for unstructured operators.
+
+The reference gets BoomerAMG/GAMG on every mesh through PETSc
+(/root/reference/python/benchmarks/bench_periodic.py:115-133); this is the
+TPU-native equivalent for matrices with no lattice structure (contact,
+disconnect meshes), where `la/gmg.py`'s geometric hierarchy does not apply.
+
+Design split along the TPU grain:
+ - SETUP runs on the host in numpy/scipy (strength graph, MIS-based
+   aggregation, smoothed prolongator, Galerkin triple products) — setup is
+   a one-time cost and graph algorithms are a poor fit for XLA.
+   Aggregation is NOT the reference's sequential greedy pass (BoomerAMG
+   PMIS-style instead): a random-priority maximal-independent-set over the
+   strength graph, computed in vectorized rounds with np.minimum.reduceat
+   — no Python per-node loop.
+ - The V-CYCLE is a jitted pytree callable (usable as `M` in cg /
+   cg_segmented): Chebyshev-smoothed, levels stored as BELL tiles on TPU
+   (la/bell.py) or CSR elsewhere, coarsest level applied as a dense
+   pseudo-inverse (one small matmul).
+
+Vector problems (elasticity, bs=3) aggregate the NODE graph (block
+Frobenius collapse) and expand the tentative prolongator per component —
+the translational near-nullspace; rotations are future work (iteration
+counts below are already mesh-stable).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["AMG", "smoothed_aggregation_amg"]
+
+
+# ---------------------------------------------------------------- setup ---
+
+def _node_graph(A, bs):
+    """Collapse a bs-blocked dof matrix to its node graph (max |entry| per
+    block)."""
+    import scipy.sparse as sp
+
+    if bs == 1:
+        return A
+    n = A.shape[0] // bs
+    C = A.tocoo()
+    r = C.row // bs
+    c = C.col // bs
+    M = sp.coo_matrix((np.abs(C.data), (r, c)), shape=(n, n))
+    M.sum_duplicates()  # sum ~ Frobenius-ish collapse; only relative size matters
+    return M.tocsr()
+
+
+def _strength(A, theta):
+    """Symmetric strength-of-connection: keep |a_ij| >= theta*sqrt(a_ii a_jj)."""
+    import scipy.sparse as sp
+
+    d = np.sqrt(np.abs(A.diagonal()) + 1e-300)
+    C = A.tocoo()
+    keep = (C.row != C.col) & (np.abs(C.data) >= theta * d[C.row] * d[C.col])
+    S = sp.csr_matrix(
+        (np.ones(int(keep.sum()), np.int8), (C.row[keep], C.col[keep])),
+        shape=A.shape,
+    )
+    return S
+
+
+def _aggregate(S, seed=0):
+    """MIS-based aggregation, fully vectorized.
+
+    Roots are a maximal independent set of the strength graph chosen by
+    random priority (each round, a node whose priority beats every live
+    neighbor's becomes a root and retires its neighborhood); every root
+    absorbs its strong neighbors, leftovers join an adjacent aggregate or
+    become singletons.  Aggregate ids are relabeled in min-fine-node order
+    to preserve dof locality for the BELL tiles downstream."""
+    n = S.shape[0]
+    indptr, indices = S.indptr, S.indices
+    deg = np.diff(indptr)
+    rng = np.random.default_rng(seed)
+    pri = rng.permutation(n).astype(np.int64)
+
+    INF = np.iinfo(np.int64).max
+    nz = np.flatnonzero(deg > 0)  # rows with neighbors (reduceat segments:
+    # deg-0 rows between consecutive nz rows contribute no entries, so
+    # indptr[nz] segments are exact and strictly increasing)
+
+    def nbr_min(vals):
+        """per-node min of vals over strong neighbors (INF where none)."""
+        out = np.full(n, INF)
+        if nz.size:
+            out[nz] = np.minimum.reduceat(vals[indices], indptr[nz])
+        return out
+
+    def nbr_any(mask):
+        out = np.zeros(n, bool)
+        if nz.size:
+            out[nz] = np.add.reduceat(
+                mask[indices].astype(np.int64), indptr[nz]) > 0
+        return out
+
+    # roots = maximal independent set of the DISTANCE-2 strength graph
+    # (distance-1 MIS checkerboards a grid into size-2 aggregates): a live
+    # node roots when its priority is the min over its closed 2-ring
+    state = np.zeros(n, np.int8)  # 0 live, 1 root, 2 retired
+    for _ in range(200):
+        live = state == 0
+        if not live.any():
+            break
+        p = np.where(live, pri, INF)
+        m1 = np.minimum(p, nbr_min(p))  # min over closed 1-ring
+        m2 = nbr_min(m1)  # min over (self-inclusive) 2-ring
+        roots = live & (pri <= np.minimum(m1, m2))
+        if not roots.any():
+            break
+        state[roots] = 1
+        r1 = nbr_any(roots)
+        r2 = nbr_any(r1 | roots)
+        state[(state == 0) & (r1 | r2)] = 2
+
+    agg = np.full(n, -1, np.int64)
+    ri = np.flatnonzero(state == 1)
+    agg[ri] = np.arange(len(ri))
+    # roots absorb strong neighbors (conflicts -> min root id, deterministic)
+    root_of = np.full(n, np.iinfo(np.int64).max)
+    root_of[ri] = agg[ri]
+    nb_root = root_of[indices]
+    nz = np.flatnonzero(deg > 0)
+    mn = np.minimum.reduceat(nb_root, indptr[nz])
+    unagg = agg < 0
+    take = unagg[nz] & (mn < np.iinfo(np.int64).max)
+    agg[nz[take]] = mn[take]
+    # two sweeps: attach stragglers to any aggregated strong neighbor
+    for _ in range(2):
+        cur = np.where(agg >= 0, agg, np.iinfo(np.int64).max)
+        nbm = cur[indices]
+        mn = np.full(n, np.iinfo(np.int64).max)
+        mn[nz] = np.minimum.reduceat(nbm, indptr[nz])
+        fill = (agg < 0) & (mn < np.iinfo(np.int64).max)
+        agg[fill] = mn[fill]
+    # singletons
+    rest = np.flatnonzero(agg < 0)
+    na = int(agg.max()) + 1 if (agg >= 0).any() else 0
+    agg[rest] = na + np.arange(len(rest))
+    na = int(agg.max()) + 1
+    # relabel by first fine node (locality)
+    first = np.full(na, n, np.int64)
+    np.minimum.at(first, agg, np.arange(n))
+    order = np.argsort(first, kind="stable")
+    relabel = np.empty(na, np.int64)
+    relabel[order] = np.arange(na)
+    return relabel[agg], na
+
+
+def _rho_dinv_a(A, n_iter=10, seed=1):
+    """Power-iteration estimate of rho(D^-1 A) (host, scipy matvecs)."""
+    d = A.diagonal()
+    dinv = np.where(d != 0, 1.0 / d, 0.0)
+    x = np.random.default_rng(seed).standard_normal(A.shape[0])
+    rho = 1.0
+    for _ in range(n_iter):
+        x = dinv * (A @ x)
+        nrm = np.linalg.norm(x)
+        if nrm == 0:
+            return 1.0
+        rho = nrm
+        x /= nrm
+    return float(rho) * 1.05
+
+
+def _to_device_op(A, dtype, bell_min=32768):
+    """scipy -> device operator: BELL on TPU for large matrices, CSR else."""
+    from .bell import bell_from_scipy
+    from .sparse import CSRMatrix
+
+    big = max(A.shape) >= bell_min
+    if big and jax.default_backend() in ("tpu", "axon"):
+        return bell_from_scipy(A, dtype=dtype)
+    A = A.tocsr()
+    row_ids = np.repeat(np.arange(A.shape[0], dtype=np.int32),
+                        np.diff(A.indptr))
+    return CSRMatrix(jnp.asarray(A.data.astype(dtype)),
+                     jnp.asarray(A.indices.astype(np.int32)),
+                     jnp.asarray(A.indptr.astype(np.int64)),
+                     jnp.asarray(row_ids), A.shape)
+
+
+def smoothed_aggregation_amg(
+    A, bs=1, theta=0.08, max_levels=12, coarse_size=800,
+    n_smooth=3, dtype=np.float32, seed=0,
+):
+    """Build an AMG preconditioner from a scipy sparse matrix (or any
+    operator exposing .to_scipy()).
+
+    bs: dof block size (3 for 3D elasticity) — aggregation runs on the node
+    graph and the tentative prolongator is expanded per component."""
+    import scipy.sparse as sp
+
+    if hasattr(A, "to_scipy"):
+        A = A.to_scipy()
+    A = A.tocsr()
+
+    ops, Ps, Rs, chebs = [], [], [], []
+    lvl = 0
+    Al = A
+    while Al.shape[0] > coarse_size and lvl < max_levels - 1:
+        G = _node_graph(Al, bs)
+        S = _strength(G, theta)
+        agg, na = _aggregate(S, seed=seed + lvl)
+        if na * bs >= Al.shape[0]:  # no coarsening progress: stop
+            break
+        nn = G.shape[0]
+        # tentative prolongator: per-aggregate constant, unit columns,
+        # expanded over components (kron with I_bs via index arithmetic)
+        sz = np.bincount(agg, minlength=na).astype(np.float64)
+        w = 1.0 / np.sqrt(sz[agg])
+        rows = (np.arange(nn)[:, None] * bs + np.arange(bs)).ravel()
+        cols = (agg[:, None] * bs + np.arange(bs)).ravel()
+        vals = np.repeat(w, bs)
+        T = sp.csr_matrix((vals, (rows, cols)), shape=(Al.shape[0], na * bs))
+        # smoothed P = (I - omega D^-1 A) T,  omega = 4/3 / rho(D^-1 A)
+        rho = _rho_dinv_a(Al)
+        d = Al.diagonal()
+        dinv = np.where(d != 0, 1.0 / d, 0.0)
+        omega = (4.0 / 3.0) / rho
+        P = (T - sp.diags(omega * dinv) @ (Al @ T)).tocsr()
+        P.eliminate_zeros()
+        R = P.T.tocsr()
+        Ac = (R @ Al @ P).tocsr()
+        Ac.eliminate_zeros()
+        ops.append(Al)
+        Ps.append(P)
+        Rs.append(R)
+        chebs.append(rho)
+        Al = Ac
+        lvl += 1
+
+    ops.append(Al)
+    # device conversion
+    dev_ops = [_to_device_op(a, dtype) for a in ops[:-1]]
+    dev_P = [_to_device_op(p, dtype) for p in Ps]
+    dev_R = [_to_device_op(r, dtype) for r in Rs]
+    inv_diag = [jnp.asarray(np.where(a.diagonal() != 0, 1.0 / a.diagonal(), 0.0)
+                            .astype(dtype)) for a in ops[:-1]]
+    coarse_inv = jnp.asarray(
+        np.linalg.pinv(ops[-1].todense()).astype(dtype))
+    cheb = [(rho / 20.0, 1.1 * rho) for rho in chebs]
+    return AMG(dev_ops, dev_P, dev_R, inv_diag, coarse_inv, cheb,
+               degree=n_smooth)
+
+
+# --------------------------------------------------------------- V-cycle ---
+
+@jax.tree_util.register_pytree_node_class
+class AMG:
+    """Jitted smoothed-aggregation V-cycle; pytree so it rides as a jit
+    ARGUMENT (closure constants blow the remote-compile payload limit)."""
+
+    def __init__(self, ops, Ps, Rs, inv_diag, coarse_inv, cheb, degree=3):
+        self.ops = ops
+        self.Ps = Ps
+        self.Rs = Rs
+        self.inv_diag = inv_diag
+        self.coarse_inv = coarse_inv
+        self.cheb = cheb  # (lo, hi) spectrum bounds of D^-1 A per level
+        self.degree = degree
+
+    def tree_flatten(self):
+        ch = (self.ops, self.Ps, self.Rs, self.inv_diag, self.coarse_inv)
+        return ch, (tuple(self.cheb), self.degree)
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        obj = cls.__new__(cls)
+        (obj.ops, obj.Ps, obj.Rs, obj.inv_diag, obj.coarse_inv) = ch
+        obj.cheb, obj.degree = list(aux[0]), aux[1]
+        return obj
+
+    def _smooth(self, lvl, x, b):
+        """Chebyshev iteration on D^-1 A over [lo, hi] (hypre-style)."""
+        A = self.ops[lvl]
+        dinv = self.inv_diag[lvl]
+        lo, hi = self.cheb[lvl]
+        theta = 0.5 * (hi + lo)
+        delta = 0.5 * (hi - lo)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        r = b - A.matvec(x)
+        d = (dinv * r) / theta
+        for _ in range(self.degree):
+            x = x + d
+            r = r - A.matvec(d)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (dinv * r)
+            rho = rho_new
+        return x
+
+    def _vcycle(self, lvl, b):
+        if lvl == len(self.ops):
+            return self.coarse_inv @ b
+        x = self._smooth(lvl, jnp.zeros_like(b), b)
+        r = b - self.ops[lvl].matvec(x)
+        xc = self._vcycle(lvl + 1, self.Rs[lvl].matvec(r))
+        x = x + self.Ps[lvl].matvec(xc)
+        return self._smooth(lvl, x, b)
+
+    def __call__(self, r):
+        return self._vcycle(0, r)

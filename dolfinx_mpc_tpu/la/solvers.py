@@ -26,7 +26,10 @@ class SolverOptions:
     """Mirror of the PETSc options dict surface (ksp_type/pc_type/rtol...)."""
 
     ksp_type: str = "cg"
-    pc_type: str = "jacobi"  # "none" | "jacobi" | "chebyshev"
+    # "none" | "jacobi" | "chebyshev" | "gamg" (aliases amg/hypre/boomeramg
+    # — the reference's BoomerAMG/GAMG configs map onto la/amg.py smoothed
+    # aggregation, bench_periodic.py:115-133)
+    pc_type: str = "jacobi"
     rtol: float = 1e-8
     atol: float = 1e-12
     max_it: int = 10000
@@ -347,13 +350,21 @@ def cg_segmented(Aop, b, M=None, rtol=1e-8, atol=1e-12, max_it=10000, seg=150):
     return x, total, float(np.sqrt(max(rr, 0.0)))
 
 
-def solve(A: Callable, b, options: SolverOptions, diag=None, x0=None):
-    """Dispatch on SolverOptions; returns (x, its, rnorm)."""
+def solve(A: Callable, b, options: SolverOptions, diag=None, x0=None,
+          Aop=None, bs=1):
+    """Dispatch on SolverOptions; returns (x, its, rnorm).
+
+    Aop: the assembled operator (anything with .to_scipy()) — required for
+    the algebraic-multigrid pc types; bs is its dof block size."""
     M = None
     if options.pc_type == "jacobi" and diag is not None:
         M = jacobi_preconditioner(diag)
     elif options.pc_type == "chebyshev" and diag is not None:
         M = chebyshev_preconditioner(A, diag, degree=options.cheb_degree)
+    elif options.pc_type in ("gamg", "amg", "hypre", "boomeramg") and Aop is not None:
+        from .amg import smoothed_aggregation_amg
+
+        M = smoothed_aggregation_amg(Aop, bs=bs, dtype=np.asarray(b).dtype)
     kw = dict(M=M, x0=x0, rtol=options.rtol, atol=options.atol, max_it=options.max_it)
     if options.ksp_type == "cg":
         return cg(A, b, **kw)

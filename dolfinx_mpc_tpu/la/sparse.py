@@ -142,3 +142,9 @@ class CSRMatrix:
 
     def to_dense(self):
         return np.asarray(self.to_scipy().todense())
+
+    def to_bell(self, **kw):
+        """Convert to the blocked-ELL TPU fast-path format (la/bell.py)."""
+        from .bell import bell_from_scipy
+
+        return bell_from_scipy(self.to_scipy(), **kw)

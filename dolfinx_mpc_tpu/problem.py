@@ -103,7 +103,9 @@ class LinearProblem:
 
         A, b = self.assemble()
         with timed("~MPC: Solve linear problem"):
-            x, its, rnorm = krylov_solve(A.matvec, b, self.options, diag=A.diagonal())
+            x, its, rnorm = krylov_solve(
+                A.matvec, b, self.options, diag=A.diagonal(), Aop=A,
+                bs=getattr(self.u.function_space, "block_size", 1))
         self.its = int(its)
         self.rnorm = float(rnorm)
         if self.mpc is not None:

@@ -1,0 +1,145 @@
+"""Smoothed-aggregation AMG: V-cycle correctness (symmetric, convergent)
+and CG iteration counts vs plain Jacobi on unstructured problems — the
+reference's BoomerAMG/GAMG parity story
+(/root/reference/python/benchmarks/bench_periodic.py:115-133)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+
+def _poisson3d(n):
+    """7-point Laplacian on an n^3 grid with Dirichlet rows kept identity."""
+    e = np.ones(n)
+    T = sp.diags([-e[:-1], 2 * e, -e[:-1]], [-1, 0, 1])
+    I = sp.identity(n)
+    return (sp.kron(sp.kron(T, I), I) + sp.kron(sp.kron(I, T), I)
+            + sp.kron(sp.kron(I, I), T)).tocsr()
+
+
+def test_aggregation_covers_all_nodes():
+    from dolfinx_mpc_tpu.la.amg import _aggregate, _strength
+
+    A = _poisson3d(8)
+    S = _strength(A, 0.08)
+    agg, na = _aggregate(S)
+    assert agg.min() >= 0 and agg.max() == na - 1
+    assert 3 <= A.shape[0] / na <= 60  # meaningful coarsening
+    # every aggregate non-empty and ids consecutive
+    assert np.array_equal(np.unique(agg), np.arange(na))
+
+
+def test_amg_poisson_iterations():
+    from dolfinx_mpc_tpu.la.amg import smoothed_aggregation_amg
+    from dolfinx_mpc_tpu.la.solvers import cg
+    from dolfinx_mpc_tpu.la.sparse import CSRMatrix
+
+    A = _poisson3d(14)  # 2744 dofs
+    n = A.shape[0]
+    M = smoothed_aggregation_amg(A, coarse_size=200, dtype=np.float64)
+    b = np.random.default_rng(0).standard_normal(n)
+    Ad = M.ops[0] if len(M.ops) else None
+    row_ids = np.repeat(np.arange(n, dtype=np.int32), np.diff(A.indptr))
+    Adev = CSRMatrix(jnp.asarray(A.data), jnp.asarray(A.indices.astype(np.int32)),
+                     jnp.asarray(A.indptr), jnp.asarray(row_ids), A.shape)
+    x, its, rn = cg(Adev.matvec, jnp.asarray(b), M=M, rtol=1e-8)
+    assert float(jnp.linalg.norm(Adev.matvec(x) - jnp.asarray(b))) < 1e-6 * np.linalg.norm(b)
+    x_j, its_j, _ = cg(Adev.matvec, jnp.asarray(b), rtol=1e-8)
+    assert its < its_j / 2.5, (int(its), int(its_j))
+    assert its <= 25, int(its)
+
+
+def test_amg_symmetric_preconditioner():
+    """M must be symmetric (SPD) for CG: check <Mu, v> == <u, Mv>."""
+    from dolfinx_mpc_tpu.la.amg import smoothed_aggregation_amg
+
+    A = _poisson3d(8)
+    M = smoothed_aggregation_amg(A, coarse_size=60, dtype=np.float64)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.standard_normal(A.shape[0]))
+    v = jnp.asarray(rng.standard_normal(A.shape[0]))
+    lhs = float(jnp.vdot(M(u), v))
+    rhs = float(jnp.vdot(u, M(v)))
+    assert abs(lhs - rhs) < 1e-8 * max(abs(lhs), 1.0)
+
+
+def test_gamg_via_linear_problem():
+    """pc_type "gamg" in petsc_options reaches the AMG path and solves the
+    periodic Poisson problem to the oracle answer (reference passes the
+    same dict to PETSc, bench_periodic.py:115-133)."""
+    import dolfinx_mpc_tpu as dmt
+    from dolfinx_mpc_tpu.fem.forms import grad, inner
+    from dolfinx_mpc_tpu.fem.mesh import create_unit_cube
+
+    mesh = create_unit_cube(8, 8, 8)
+    V = dmt.functionspace(mesh, ("Lagrange", 1))
+    bdofs = dmt.locate_dofs_geometrical(
+        V, lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], 1.0))
+    bc = dmt.dirichletbc(0.0, bdofs, V)
+    mpc = dmt.MultiPointConstraint(V)
+    mpc.create_periodic_constraint_geometrical(
+        V, lambda x: np.isclose(x[0], 1.0),
+        lambda x: np.stack([1.0 - x[0], x[1], x[2]]), [bc])
+    mpc.finalize()
+    a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)))
+    L = dmt.LinearForm(V, lambda v, c: 1.0 * v.value)
+    pg = dmt.LinearProblem(a, L, mpc, bcs=[bc],
+                           petsc_options={"ksp_type": "cg", "pc_type": "gamg",
+                                          "ksp_rtol": 1e-10})
+    ug = pg.solve()
+    pj = dmt.LinearProblem(a, L, mpc, bcs=[bc],
+                           petsc_options={"ksp_type": "cg", "ksp_rtol": 1e-10})
+    uj = pj.solve()
+    assert pg.its < pj.its, (pg.its, pj.its)
+    nrm = np.abs(np.asarray(uj.x.array)).max()
+    assert np.abs(np.asarray(ug.x.array) - np.asarray(uj.x.array)).max() < 1e-7 * nrm
+
+
+def test_amg_contact_elasticity_iterations():
+    """Tied-contact elasticity (the bench_contact_3D problem, small): AMG
+    cuts CG iterations well below Jacobi — the reference solves this with
+    GAMG (/root/reference/python/benchmarks/bench_contact_3D.py:186-213)."""
+    import dolfinx_mpc_tpu as dmt
+    from dolfinx_mpc_tpu.fem.forms import conj, div, grad, inner, sym
+    from dolfinx_mpc_tpu.fem.mesh import Mesh, create_box, meshtags
+    from dolfinx_mpc_tpu.la.amg import smoothed_aggregation_amg
+    from dolfinx_mpc_tpu.la.solvers import cg_segmented
+
+    nb, nt = 7, 6
+    bot = create_box((0, 0, 0), (1, 1, 1), (nb, nb, nb))
+    top = create_box((0, 0, 1), (1, 1, 2), (nt, nt, nt))
+    mesh = Mesh(np.vstack([bot.points, top.points]),
+                np.vstack([bot.cells, top.cells + bot.num_points]),
+                bot.cell_type)
+    V = dmt.functionspace(mesh, ("Lagrange", 1, (3,)))
+    fverts, _, f2c = mesh.facets()
+    on_iface = np.isclose(mesh.points[fverts][:, :, 2], 1.0).all(axis=1)
+    ext = np.isin(np.arange(fverts.shape[0]), mesh.exterior_facets())
+    iface = np.flatnonzero(on_iface & ext)
+    cz = mesh.points[mesh.cells[f2c[iface, 0]]].mean(axis=1)[:, 2]
+    mt = meshtags(mesh, 2, iface, np.where(cz > 1.0, 1, 2))
+    mpc = dmt.MultiPointConstraint(V)
+    mpc.create_contact_inelastic_condition(mt, 1, 2)
+    mpc.finalize()
+    bdofs = dmt.locate_dofs_geometrical(V, lambda x: np.isclose(x[2], 0.0))
+    bc = dmt.dirichletbc(np.array([0.0, 0.0, 0.0]), bdofs, V)
+    tdofs = dmt.locate_dofs_geometrical(V, lambda x: np.isclose(x[2], 2.0))
+    bc_top = dmt.dirichletbc(np.array([0.0, 0.0, -0.05]), tdofs, V)
+    a = dmt.BilinearForm(V, lambda u, v, c: 2 * inner(sym(grad(u)), sym(grad(v)))
+                         + 1.25 * div(u) * conj(div(v)))
+    L = dmt.LinearForm(V, lambda v, c: inner(jnp.zeros(3), v))
+    A = dmt.assemble_matrix(a, mpc, bcs=[bc, bc_top])
+    b = dmt.assemble_vector(L, mpc)
+    b = dmt.apply_lifting(b, [a], [[bc, bc_top]], mpc)
+    b = jnp.asarray(np.asarray(dmt.set_bc(b, [bc, bc_top])))
+
+    M = smoothed_aggregation_amg(A, bs=3, coarse_size=400, dtype=np.float64)
+    x, its, rn = cg_segmented(A, b, M=M, rtol=1e-6, max_it=600, seg=50)
+    x_j, its_j, _ = cg_segmented(A, b, rtol=1e-6, max_it=2000, seg=200)
+    # solution matches the Jacobi-CG solution
+    nrm = float(jnp.linalg.norm(x_j))
+    assert float(jnp.linalg.norm(x - x_j)) < 1e-4 * nrm
+    assert its < its_j / 2, (int(its), int(its_j))
+    assert its <= 100, int(its)
