@@ -133,7 +133,7 @@ def _load_or_build_hierarchy(make_level, n, degree, build_gmg_hierarchy):
     never ship a stale fine operator."""
     import jax.numpy as jnp
 
-    from dolfinx_mpc_tpu.ops.lattice import DIAMatrix, LatticeOperator
+    from dolfinx_mpc_tpu.ops.lattice import BlockDIAMatrix, DIAMatrix, LatticeOperator
 
     cache_dir = os.path.expanduser("~/.dmt_bench_cache")
     path = os.path.join(cache_dir, f"gmgh_p{degree}_n{n}_{_hier_code_hash()}.npz")
@@ -142,9 +142,19 @@ def _load_or_build_hierarchy(make_level, n, degree, build_gmg_hierarchy):
         nlev = int(z["nlev"])
         ops, masks = [None], [jnp.asarray(z["mask0"])]
         for l in range(1, nlev):
-            dia = DIAMatrix(jnp.asarray(z[f"data{l}"]),
-                            tuple(tuple(int(v) for v in o) for o in z[f"offsets{l}"]),
-                            tuple(int(v) for v in z[f"vshape{l}"]), int(z[f"bs{l}"]))
+            if f"trips{l}" in z:  # parity-blocked (degree-2) level
+                tr = z[f"trips{l}"]
+                trips = tuple((tuple(int(v) for v in t[0:3]),
+                               tuple(int(v) for v in t[3:6]),
+                               tuple(int(v) for v in t[6:9])) for t in tr)
+                dia = BlockDIAMatrix(
+                    jnp.asarray(z[f"data{l}"]), trips,
+                    tuple(int(v) for v in z[f"vshape{l}"]),
+                    tuple(int(v) for v in z[f"r3_{l}"]), int(z[f"bs{l}"]))
+            else:
+                dia = DIAMatrix(jnp.asarray(z[f"data{l}"]),
+                                tuple(tuple(int(v) for v in o) for o in z[f"offsets{l}"]),
+                                tuple(int(v) for v in z[f"vshape{l}"]), int(z[f"bs{l}"]))
             fa = int(z[f"fold_axis{l}"])
             op = LatticeOperator(
                 dia, jnp.zeros((0,), dia.data.dtype), None, None,
@@ -165,9 +175,15 @@ def _load_or_build_hierarchy(make_level, n, degree, build_gmg_hierarchy):
         payload = {"nlev": len(ops), "mask0": np.asarray(masks[0])}
         for l in range(1, len(ops)):
             op = ops[l]
+            if hasattr(op.dia, "trips"):  # BlockDIAMatrix
+                payload[f"trips{l}"] = np.asarray(
+                    [list(a) + list(b) + list(c) for a, b, c in op.dia.trips],
+                    np.int64)
+                payload[f"r3_{l}"] = np.asarray(op.dia.r3, np.int64)
+            else:
+                payload[f"offsets{l}"] = np.asarray(op.dia.offsets, np.int64)
             payload.update({
                 f"data{l}": np.asarray(op.dia.data),
-                f"offsets{l}": np.asarray(op.dia.offsets, np.int64),
                 f"vshape{l}": np.asarray(op.dia.vshape, np.int64),
                 f"bs{l}": op.dia.bs,
                 f"nrows{l}": op.side_nrows,

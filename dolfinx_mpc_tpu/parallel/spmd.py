@@ -11,10 +11,14 @@ tables + two XLA collectives:
   segment-sums them into the GLOBAL packed CSR-slot layout, and a single
   `psum_scatter` leaves each device with exactly its row-block of matrix
   data (replacing PETSc MatAssembly's neighbor exchanges).
-- solve: CG where the matrix is row-block sharded and the dof vector is
-  replicated; each SpMV is local rows x full vector followed by one
-  `all_gather` (replacing the per-iteration halo exchange + allreduce of
-  PETSc KSP, reference problem.py:585).
+- solve: CG with BOTH the matrix and every Krylov vector row-block
+  sharded.  Each device holds only its rpd-row block plus the ghost
+  values its columns reference; the per-iteration halo exchange is ONE
+  `all_to_all` moving static, host-computed per-(src,dst) index lists —
+  the direct analogue of DOLFINx's IndexMap scatter_fwd
+  (/root/reference/cpp/mpc_helpers.h:139-235) expressed as an XLA
+  collective.  Memory and exchange volume per device scale with
+  rpd + ghosts, not with N (weak scaling), unlike an all_gather design.
 
 Unlike the single-device fast path (ops/assemble.py) which splits
 slave/non-slave cell batches, the SPMD path treats every cell uniformly with
@@ -117,6 +121,79 @@ class RowPartition:
     cols: np.ndarray  # (n_dev, nnz_pad) int32, 0-padded
     lrows: np.ndarray  # (n_dev, nnz_pad) int32 local row, 0-padded
     valid: np.ndarray  # (n_dev, nnz_pad) bool
+
+
+def build_ghost_exchange(part: RowPartition):
+    """Static halo-exchange tables for the distributed SpMV.
+
+    For each device d, the off-block columns of its rows are its GHOSTS.
+    Ghost traffic is organized by ring OFFSET delta = (dst - src) mod n_dev
+    — one `ppermute` rotation per ACTIVE offset, each with its own buffer
+    width.  With row-block partitions of a locality-ordered mesh, only
+    delta = +-1 (slab neighbors) and the few offsets induced by MPC
+    couplings (periodic wrap, contact interface) are active, so the
+    receive window is rpd + sum_active(ms_delta) — NOT n_dev * max (an
+    all_to_all would pad every pair to the global max), and the halos ride
+    neighbor ICI links.
+
+    Returns:
+      rounds: list of (delta, send_idx) with send_idx (n_dev, ms_delta)
+        int32 — device s sends x_loc[send_idx[s]] to (s+delta) % n_dev;
+      lcols: (n_dev, nnz_pad) int32 — per-nnz LOCAL column: owned columns
+        map to [0, rpd), ghosts to rpd + offset_of(delta) + j;
+      window: rpd + total ghost slots (per-device vector length).
+    """
+    n_dev, rpd = part.n_dev, part.rows_per_dev
+    # ghosts[s][d]: global cols device d needs from source s
+    ghosts = [[np.zeros(0, np.int64)] * n_dev for _ in range(n_dev)]
+    for d in range(n_dev):
+        cols = part.cols[d][part.valid[d]].astype(np.int64)
+        off = cols[(cols // rpd) != d]
+        if off.size:
+            u = np.unique(off)
+            own = u // rpd
+            for s in np.unique(own):
+                ghosts[int(s)][d] = u[own == s]
+    # active ring offsets and their buffer widths
+    ms_delta = {}
+    for s in range(n_dev):
+        for d in range(n_dev):
+            cnt = ghosts[s][d].shape[0]
+            if cnt:
+                delta = (d - s) % n_dev
+                ms_delta[delta] = max(ms_delta.get(delta, 0), cnt)
+    deltas = sorted(ms_delta)
+    offsets = {}
+    pos = rpd
+    for delta in deltas:
+        offsets[delta] = pos
+        pos += ms_delta[delta]
+    window = pos
+    rounds = []
+    for delta in deltas:
+        si = np.zeros((n_dev, ms_delta[delta]), np.int32)
+        for s in range(n_dev):
+            g = ghosts[s][(s + delta) % n_dev]
+            si[s, : g.shape[0]] = (g - s * rpd).astype(np.int32)
+        rounds.append((delta, si))
+    lcols = np.zeros((n_dev, part.nnz_pad), np.int32)
+    for d in range(n_dev):
+        gmap = {}
+        for s in range(n_dev):
+            g = ghosts[s][d]
+            if g.size:
+                base = offsets[(d - s) % n_dev]
+                for j, c in enumerate(g):
+                    gmap[int(c)] = base + j
+        cols = part.cols[d].astype(np.int64)
+        own = (cols // rpd) == d
+        lc = np.where(own & part.valid[d], cols - d * rpd, 0).astype(np.int64)
+        gh = np.flatnonzero(~own & part.valid[d])
+        if gh.size:
+            lc[gh] = np.fromiter((gmap[int(c)] for c in cols[gh]), np.int64,
+                                 count=gh.size)
+        lcols[d] = lc.astype(np.int32)
+    return rounds, lcols, window
 
 
 def partition_rows(pattern, n_dev: int) -> RowPartition:
@@ -230,6 +307,9 @@ class ShardedLinearProblem:
         part = partition_rows(pattern, n_dev)
         self.pattern = pattern
         self.part = part
+        rounds, self._lcols, self._window = build_ghost_exchange(part)
+        self._deltas = tuple(d for d, _ in rounds)
+        self._round_tabs = tuple(si for _, si in rounds)
         rpd = part.rows_per_dev
         N_pad = rpd * n_dev
         self.N_pad = N_pad
@@ -328,12 +408,17 @@ class ShardedLinearProblem:
         rtol, max_it = self.rtol, self.max_it
         mpc_tabs = self._mpc_tabs
 
-        def device_step(a_tabs, L_tabs, a_coeffs, L_coeffs, cols_d, lrows_d, valid_d, bc_row, g):
+        deltas = self._deltas
+
+        def device_step(a_tabs, L_tabs, a_coeffs, L_coeffs, cols_d, lrows_d,
+                        valid_d, round_tabs, lcols_d, bc_row, g):
             """Runs per device inside shard_map.  Sharded args arrive with a
             leading block axis of size 1 — squeeze it."""
             sq = lambda t: jax.tree_util.tree_map(lambda x: x[0], t)
             a_tabs, L_tabs = sq(a_tabs), sq(L_tabs)
             cols_d, lrows_d, valid_d = cols_d[0], lrows_d[0], valid_d[0]
+            round_tabs = tuple(si[0] for si in round_tabs)
+            lcols_d = lcols_d[0]
             me = jax.lax.axis_index(AXIS)
             vals, slots = [], []
             b_part = jnp.zeros(N_pad + 1, dtype=dtype)
@@ -371,53 +456,74 @@ class ShardedLinearProblem:
                 be = L_kernels[ti](tb["coords"], tb["lf"], wl)
                 bep = jnp.einsum("ciw,ci->cw", jnp.conj(tb["Tr"]), be)
                 b_part = b_part.at[tb["tgt"].reshape(-1)].add(bep.reshape(-1))
-            b = jax.lax.psum(b_part[:N_pad], AXIS)
-            # set_bc: b[bc] = diagval * g
-            b = jnp.where(bc_row > 0, diagval * g, b)
+            # row-block-distributed RHS: one psum_scatter, never a full
+            # replicated b (weak-scaling memory)
+            b_loc = jax.lax.psum_scatter(
+                b_part[:N_pad], AXIS, scatter_dimension=0, tiled=True)
+            # set_bc on the local block: b[bc] = diagval * g
+            row0 = me * rpd
+            bc_loc = jax.lax.dynamic_slice(bc_row, (row0,), (rpd,))
+            g_loc = jax.lax.dynamic_slice(g, (row0,), (rpd,))
+            b_loc = jnp.where(bc_loc > 0, diagval * g_loc, b_loc)
 
-            # ---- CG (row-block SpMV + all_gather; replicated vectors) ----
-            def matvec(x):
-                prod = data_d * x[cols_d]
-                y_loc = jax.ops.segment_sum(prod, lrows_d, num_segments=rpd)
-                return jax.lax.all_gather(y_loc, AXIS, tiled=True)
+            # ---- CG on distributed vectors (static halo exchange) --------
+            def exchange(x_loc):
+                """ghost scatter: one ppermute ring rotation per active
+                offset, each with its own (tight) buffer width — the
+                IndexMap scatter_fwd analogue on ICI neighbor links."""
+                parts = [x_loc]
+                for delta, si_d in zip(deltas, round_tabs):
+                    perm = [(s, (s + delta) % n_dev) for s in range(n_dev)]
+                    parts.append(jax.lax.ppermute(x_loc[si_d], AXIS, perm))
+                return jnp.concatenate(parts)
+
+            def matvec(x_loc):
+                xw = exchange(x_loc)
+                prod = data_d * xw[lcols_d]
+                return jax.ops.segment_sum(prod, lrows_d, num_segments=rpd)
+
+            def pdot(u, v):
+                return jax.lax.psum(jnp.vdot(u, v), AXIS)
 
             gd = lrows_d + me * rpd
             diag_loc = jax.ops.segment_sum(
-                jnp.where((cols_d == gd) & valid_d, data_d, 0), lrows_d, num_segments=rpd
-            )
-            diag = jax.lax.all_gather(diag_loc, AXIS, tiled=True)
-            inv = jnp.where(diag != 0, 1.0 / diag, 0.0)
+                jnp.where((cols_d == gd) & valid_d, data_d, 0), lrows_d,
+                num_segments=rpd)
+            inv = jnp.where(diag_loc != 0, 1.0 / diag_loc, 0.0)
 
-            x = jnp.zeros(N_pad, dtype=dtype)
-            r = b - matvec(x)
+            x = jnp.zeros(rpd, dtype=dtype)
+            r = b_loc - matvec(x)
             z = inv * r
             p = z
-            rz = jnp.vdot(r, z)
-            tol2 = (rtol * jnp.linalg.norm(b)) ** 2
+            rz = pdot(r, z)
+            tol2 = rtol**2 * jnp.real(pdot(b_loc, b_loc))
 
             def cond(s):
                 _, r, _, _, _, k = s
-                return (jnp.real(jnp.vdot(r, r)) > tol2) & (k < max_it)
+                return (jnp.real(pdot(r, r)) > tol2) & (k < max_it)
 
             def body(s):
                 x, r, z, p, rz, k = s
                 Ap = matvec(p)
-                alpha = rz / jnp.vdot(p, Ap)
+                alpha = rz / pdot(p, Ap)
                 x = x + alpha * p
                 r = r - alpha * Ap
                 z = inv * r
-                rz_new = jnp.vdot(r, z)
+                rz_new = pdot(r, z)
                 p = z + (rz_new / rz) * p
                 return (x, r, z, p, rz_new, k + 1)
 
             x, r, _, _, _, k = jax.lax.while_loop(cond, body, (x, r, z, p, rz, 0))
-            # backsubstitution u[s] = sum c u[m]
+            rnorm = jnp.sqrt(jnp.real(pdot(r, r)))
+            # gather the solution once at the end (the OUTPUT is global);
+            # backsubstitution may reference remote masters
+            xg = jax.lax.all_gather(x, AXIS, tiled=True)
             if mpc_tabs is not None:
                 sl, ma, co = mpc_tabs
-                x = x.at[jnp.asarray(sl)].set(
-                    jnp.einsum("sm,sm->s", jnp.asarray(co), x[jnp.asarray(ma)].astype(dtype))
+                xg = xg.at[jnp.asarray(sl)].set(
+                    jnp.einsum("sm,sm->s", jnp.asarray(co), xg[jnp.asarray(ma)].astype(dtype))
                 )
-            return x, k, jnp.linalg.norm(r)
+            return xg, k, rnorm
 
         dev_spec = P(AXIS)
         rep = P()
@@ -435,6 +541,8 @@ class ShardedLinearProblem:
                 jax.tree_util.tree_map(lambda _: rep, self._L_coeffs),
                 dev_spec,
                 dev_spec,
+                dev_spec,
+                tuple(dev_spec for _ in self._round_tabs),
                 dev_spec,
                 rep,
                 rep,
@@ -456,6 +564,8 @@ class ShardedLinearProblem:
             jnp.asarray(self.part.cols),
             jnp.asarray(self.part.lrows),
             jnp.asarray(self.part.valid),
+            tuple(jnp.asarray(si) for si in self._round_tabs),
+            jnp.asarray(self._lcols),
             jnp.asarray(self._bc_row_mask),
             jnp.asarray(self._bc_vals),
         )
