@@ -43,6 +43,15 @@ import os
 import sys
 import time
 
+# this image sets PYTHONDONTWRITEBYTECODE=1, so every process re-compiles
+# ~40 MB of generated mlir/mosaic python to bytecode (~40 s of the measured
+# host setup).  Re-exec once with a pycache under $HOME: the first run pays
+# the compile and caches it, every later run loads .pyc.
+if os.environ.pop("PYTHONDONTWRITEBYTECODE", None) and not os.environ.get("DMT_REEXEC"):
+    os.environ["PYTHONPYCACHEPREFIX"] = os.path.expanduser("~/.pycache")
+    os.environ["DMT_REEXEC"] = "1"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 import numpy as np
 
 REFERENCE_CORES = 64  # node size named in BASELINE.md

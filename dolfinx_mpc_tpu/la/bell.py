@@ -225,14 +225,18 @@ def bell_from_scipy(A, R=8, C=128, mt_cap=None, mt_quantile=99.0,
     slot_u = np.arange(len(uniq)) - first[ub]
     keep_u = slot_u < mt
 
-    data = np.zeros((nblk, mt, R, C), dtype=dtype)
     cols = np.zeros((nblk, mt), dtype=np.int32)
     cols[ub[keep_u], slot_u[keep_u]] = ut[keep_u]
 
     keep_e = keep_u[inv]
     slot_e = slot_u[inv]
-    np.add.at(data, (blk[keep_e], slot_e[keep_e], row[keep_e] % R,
-                     col[keep_e] % C), val[keep_e])
+    # scatter-add via bincount on linear indices (np.add.at is ~20x slower
+    # at tens of millions of entries)
+    lin = (((blk[keep_e] * mt + slot_e[keep_e]) * R + row[keep_e] % R) * C
+           + col[keep_e] % C)
+    total = nblk * mt * R * C
+    data = np.bincount(lin, weights=val[keep_e], minlength=total)
+    data = data.astype(dtype).reshape(nblk, mt, R, C)
 
     ov = ~keep_e
     order = np.argsort(row[ov], kind="stable")
