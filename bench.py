@@ -34,7 +34,9 @@ Env knobs: BENCH_N (default 64), BENCH_CHAIN (default 33),
 BENCH_XCHUNKS (default 1; >1 bounds the assembly working set by processing
 x-slabs inside one fori_loop — needed beyond ~n=96 on a 16 GB chip),
 BENCH_DEGREE (default 1; 2 = the reference's canonical --degree 2 config,
-riding the refined-grid DIA fast path).
+riding the refined-grid DIA fast path), BENCH_BS (default 1; 3 = vector P1
+elasticity — the reference's bench_elasticity_edge problem class — against
+a bs=3 elasticity build of the measured C++ baseline).
 """
 
 import itertools
@@ -57,7 +59,7 @@ import numpy as np
 REFERENCE_CORES = 64  # node size named in BASELINE.md
 
 
-def reference_mdof_s(n: int, degree: int = 1) -> float:
+def reference_mdof_s(n: int, degree: int = 1, bs: int = 1) -> float:
     """Measured per-core CPU reference rate x ideal 64-core scaling."""
     try:
         import importlib.util
@@ -72,7 +74,8 @@ def reference_mdof_s(n: int, degree: int = 1) -> float:
         # cap the reference problem size: past ~n=128 the single-core C++
         # sparsity-setup RAM and runtime explode while the per-core rate only
         # drops (cache effects) — capping is GENEROUS to the reference
-        res = mod.measure(n=min(n, 128 if degree == 1 else 64), degree=degree)
+        res = mod.measure(n=min(n, (128 if degree == 1 else 64) // bs),
+                          degree=degree, bs=bs)
         rate = res["mdof_s"] / res["threads"] * REFERENCE_CORES
         log(f"reference baseline (measured): {res['mdof_s']:.2f} MDoF/s/core "
             f"x {REFERENCE_CORES} ideal cores = {rate:.1f} MDoF/s")
@@ -134,7 +137,7 @@ def _hier_code_hash():
     return h.hexdigest()[:12]
 
 
-def _load_or_build_hierarchy(make_level, n, degree, build_gmg_hierarchy):
+def _load_or_build_hierarchy(make_level, n, degree, build_gmg_hierarchy, bs=1):
     """Coarse GMG levels (levels 1+) from a keyed disk cache: each is a few
     MB of DIA data whose per-level host setup + remote assembly compile
     otherwise costs ~15 s of the bench wall clock.  Level 0 is ALWAYS
@@ -145,7 +148,9 @@ def _load_or_build_hierarchy(make_level, n, degree, build_gmg_hierarchy):
     from dolfinx_mpc_tpu.ops.lattice import BlockDIAMatrix, DIAMatrix, LatticeOperator
 
     cache_dir = os.path.expanduser("~/.dmt_bench_cache")
-    path = os.path.join(cache_dir, f"gmgh_p{degree}_n{n}_{_hier_code_hash()}.npz")
+    path = os.path.join(
+        cache_dir,
+        f"gmgh_p{degree}{'' if bs == 1 else f'_bs{bs}'}_n{n}_{_hier_code_hash()}.npz")
     if os.path.exists(path):
         z = np.load(path)
         nlev = int(z["nlev"])
@@ -176,7 +181,11 @@ def _load_or_build_hierarchy(make_level, n, degree, build_gmg_hierarchy):
             masks.append(jnp.asarray(z[f"mask{l}"]))
         log(f"GMG coarse levels from cache ({os.path.basename(path)})")
         return ops, masks
-    ops, masks = build_gmg_hierarchy(make_level, n, 4, min_n=8)
+    # coarse_on_cpu: each cache-miss coarse level otherwise pays a fresh
+    # remote accelerator compile (~40-60 s); locally-compiled CPU assembly of
+    # a <=300k-dof coarse operator takes seconds and is device_put once
+    ops, masks = build_gmg_hierarchy(make_level, n, 4, min_n=8,
+                                     coarse_on_cpu=True)
     if any(op._unassembled() or op.side_data.shape[0] for op in ops[1:]):
         return ops, masks  # non-lean levels carry side blocks: don't cache
     try:
@@ -213,6 +222,7 @@ def main():
     K = int(os.environ.get("BENCH_CHAIN", "33"))
     xchunks = int(os.environ.get("BENCH_XCHUNKS", "1"))
     degree = int(os.environ.get("BENCH_DEGREE", "1"))
+    bs = int(os.environ.get("BENCH_BS", "1"))  # 3 = vector elasticity
 
     import threading
 
@@ -236,25 +246,45 @@ def main():
     from dolfinx_mpc_tpu.fem.mesh import create_unit_cube
     from dolfinx_mpc_tpu.ops.lattice import assemble_matrix_lattice
 
+    def make_problem(m):
+        """(mesh, V, bc, mpc, form) for size m — scalar Poisson (bs=1) or
+        vector elasticity (bs=3, reference bench_elasticity_edge.py)."""
+        mesh_m = create_unit_cube(m, m, m)
+        shape = () if bs == 1 else (bs,)
+        V_m = dmt.functionspace(mesh_m, ("Lagrange", degree, shape) if bs > 1
+                                else ("Lagrange", degree))
+        bdofs_m = dmt.locate_dofs_geometrical(
+            V_m, lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], 1.0)
+        )
+        bc_m = dmt.dirichletbc(0.0 if bs == 1 else np.zeros(bs), bdofs_m, V_m)
+        mpc_m = dmt.MultiPointConstraint(V_m, dtype=np.float32)
+        mpc_m.create_periodic_constraint_geometrical(
+            V_m,
+            lambda x: np.isclose(x[0], 1.0),
+            lambda x: np.stack([1.0 - x[0], x[1], x[2]]),
+            [bc_m],
+        )
+        if bs == 1:
+            a_m = dmt.BilinearForm(V_m, lambda u, v, c: inner(grad(u), grad(v)),
+                                   quad_degree=degree)
+        else:
+            from dolfinx_mpc_tpu.fem.forms import conj, div, sym
+
+            mu, lam = 1.0, 1.25
+            a_m = dmt.BilinearForm(
+                V_m,
+                lambda u, v, c: 2 * mu * inner(sym(grad(u)), sym(grad(v)))
+                + lam * div(u) * conj(div(v)),
+                quad_degree=degree,
+            )
+        return mesh_m, V_m, bc_m, mpc_m, a_m
+
     t0 = time.time()
-    mesh = create_unit_cube(n, n, n)
-    V = dmt.functionspace(mesh, ("Lagrange", degree))
-    bdofs = dmt.locate_dofs_geometrical(
-        V, lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], 1.0)
-    )
-    bc = dmt.dirichletbc(0.0, bdofs, V)
-    mpc = dmt.MultiPointConstraint(V, dtype=np.float32)
-    mpc.create_periodic_constraint_geometrical(
-        V,
-        lambda x: np.isclose(x[0], 1.0),
-        lambda x: np.stack([1.0 - x[0], x[1], x[2]]),
-        [bc],
-    )
+    mesh, V, bc, mpc, a = make_problem(n)
     init_thread.join()  # before the first eager jnp op (finalize)
     log(f"devices: {jax.devices()} (init overlapped with mesh setup, "
         f"{time.time()-init_t0:.1f}s since start)")
     mpc.finalize()
-    a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)), quad_degree=degree)
     # side format preference: "fold" (plane identification — matching
     # periodic constraints collapse into the stencil, zero irregular ops) ->
     # "cells" (unassembled per-cell interface blocks).  Both verified
@@ -345,8 +375,10 @@ def main():
     mdof_s = V.num_dofs / t_asm / 1e6
     if clf._lean and clf._blocked_lean:
         out_vals = len(clf.trips) * int(np.prod(clf._cdims))
+    elif clf._lean:
+        out_vals = (V.num_dofs // clf.bs) * len(clf.offsets) * clf.bs * clf.bs
     else:
-        out_vals = V.num_dofs * (len(clf.offsets) if clf._lean else 15)
+        out_vals = V.num_dofs * 15
     out_bytes = 4 * out_vals
     eff_bw = out_bytes / t_asm / 1e9
     if eff_bw > 1200.0:  # physical guard: ~0.82 TB/s HBM on v5e
@@ -357,7 +389,7 @@ def main():
 
     # ---- full solve: GMG-preconditioned CG ------------------------------
     A = clf.assemble()
-    if clf._lean and V.num_dofs > 2**21:
+    if clf._lean and (V.num_dofs > 2**21 or bs > 1):
         # the general RHS assembler keeps O(cells) tables — at 10M-dof scale
         # use a manufactured RHS b = A u0 instead (identical per-iteration
         # SpMV work; the headline metric is assembly throughput anyway)
@@ -365,8 +397,9 @@ def main():
         ii = jnp.arange(n0, dtype=jnp.float32)[:, None, None] / n0
         jj = jnp.arange(n1, dtype=jnp.float32)[None, :, None] / n1
         kk = jnp.arange(n2, dtype=jnp.float32)[None, None, :] / n2
-        u0 = (jnp.sin(np.pi * ii) * jnp.sin(np.pi * jj) * jnp.sin(2 * np.pi * kk)
-              * clf._keep_grid[0]).reshape(-1)
+        pat = jnp.sin(np.pi * ii) * jnp.sin(np.pi * jj) * jnp.sin(2 * np.pi * kk)
+        # keep_grid is component-major (bs, n0, n1, n2); x is interleaved
+        u0 = jnp.moveaxis(pat[None] * clf._keep_grid, 0, -1).reshape(-1)
         b = jax.jit(lambda A_, u: A_.matvec(u))(A, u0)
     else:
         L = dmt.LinearForm(V, lambda v, c: 4.0 * v.value)
@@ -381,21 +414,8 @@ def main():
         def make_level(m):
             if m == n:
                 return clf  # reuse the finest-level compiled form (and its chunking)
-            mesh_l = create_unit_cube(m, m, m)
-            V_l = dmt.functionspace(mesh_l, ("Lagrange", degree))
-            bdofs_l = dmt.locate_dofs_geometrical(
-                V_l, lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], 1.0)
-            )
-            bc_l = dmt.dirichletbc(0.0, bdofs_l, V_l)
-            mpc_l = dmt.MultiPointConstraint(V_l, dtype=np.float32)
-            mpc_l.create_periodic_constraint_geometrical(
-                V_l, lambda x: np.isclose(x[0], 1.0),
-                lambda x: np.stack([1.0 - x[0], x[1], x[2]]), [bc_l],
-            )
+            _, V_l, bc_l, mpc_l, a_l = make_problem(m)
             mpc_l.finalize()
-            a_l = dmt.BilinearForm(
-                V_l, lambda u, v, c: inner(grad(u), grad(v)), quad_degree=degree
-            )
             try:
                 return assemble_matrix_lattice(a_l, mpc_l, bcs=[bc_l], dtype=np.float32,
                                                side_format="fold")
@@ -404,7 +424,8 @@ def main():
                                                side_format="cells")
 
         t0 = time.time()
-        ops, masks = _load_or_build_hierarchy(make_level, n, degree, build_gmg_hierarchy)
+        ops, masks = _load_or_build_hierarchy(make_level, n, degree,
+                                              build_gmg_hierarchy, bs=bs)
         ops[0] = A
         M = LatticeGMG(ops, free_masks=masks)
         log(f"GMG hierarchy ({len(ops)} levels): {time.time()-t0:.1f}s")
@@ -465,11 +486,13 @@ def main():
     log(f"CG solve: its={its_v} rnorm={rn_v:.2e} device={t_solve*1e3:.1f}ms "
         f"({per_it*1e3:.2f} ms/it) wall-with-relay={wall*1e3:.1f}ms")
 
+    metric = (f"constrained_assembly_p{degree}_3d_periodic" if bs == 1 else
+              f"constrained_assembly_p{degree}_bs{bs}_3d_periodic_elasticity")
     result = {
-        "metric": f"constrained_assembly_p{degree}_3d_periodic",
+        "metric": metric,
         "value": round(mdof_s, 2),
         "unit": "MDoF/s",
-        "vs_baseline": round(mdof_s / reference_mdof_s(n, degree), 3),
+        "vs_baseline": round(mdof_s / reference_mdof_s(n, degree, bs), 3),
     }
     if suspect:
         result["suspect_noise_floor"] = True

@@ -42,10 +42,11 @@ def build(force: bool = False) -> str:
     subprocess.run(cmd, check=True, capture_output=True)
     return BIN
 
-def measure(n: int = 64, reps: int = 3, degree: int = 1, force: bool = False) -> dict:
+def measure(n: int = 64, reps: int = 3, degree: int = 1, force: bool = False,
+            bs: int = 1) -> dict:
     """Return the measured baseline dict, using the cache when it matches
-    (n, degree).  One cache entry per (n, degree) pair."""
-    key = f"{n}_d{degree}"
+    (n, degree, bs).  One cache entry per (n, degree, bs) triple."""
+    key = f"{n}_d{degree}" + ("" if bs == 1 else f"_bs{bs}")
     cache = {}
     if os.path.exists(CACHE):
         with open(CACHE) as f:
@@ -55,7 +56,7 @@ def measure(n: int = 64, reps: int = 3, degree: int = 1, force: bool = False) ->
     if not force and key in cache:
         return cache[key]
     out = subprocess.run(
-        [build(), str(n), str(reps), str(degree)],
+        [build(), str(n), str(reps), str(degree), "-", str(bs)],
         check=True, capture_output=True, text=True,
     ).stdout
     result = json.loads(out.strip().splitlines()[-1])

@@ -25,8 +25,13 @@
 // same grid-lex convention the jax package uses, so dumped matrices are
 // entry-identical for the tests/test_ref_baseline.py cross-check).
 //
+// Block size 3 (argv[5]) assembles VECTOR P1 elasticity instead (the
+// reference's bench_elasticity_edge.py problem: 2*mu*sym(grad u):sym(grad v)
+// + lambda*div u*div v, mu=1, lambda=1.25) with per-node slave/bc expansion
+// over all three components — the measured baseline for the bs=3 TPU path.
+//
 // Build: g++ -O3 -march=native -fopenmp -std=c++17 ref_baseline.cpp -o ref_baseline
-// Run:   ./ref_baseline [n=64] [reps=3] [degree=1] [dumpfile]
+// Run:   ./ref_baseline [n=64] [reps=3] [degree=1] [dumpfile|-] [bs=1]
 #include <algorithm>
 #include <chrono>
 #include <cmath>
@@ -45,11 +50,13 @@ int main(int argc, char** argv) {
   const int n = argc > 1 ? std::atoi(argv[1]) : 64;
   const int reps = argc > 2 ? std::atoi(argv[2]) : 3;
   const int deg = argc > 3 ? std::atoi(argv[3]) : 1;
+  const int bs = argc > 5 ? std::atoi(argv[5]) : 1;  // 3 = vector elasticity
   const int r = deg;               // grid refinement = degree
   const int gp = r * n + 1;        // refined dof grid points per axis
-  const int nd = deg == 1 ? 4 : 10;  // local dofs per tet
-  const int64_t num_dofs = int64_t(gp) * gp * gp;
+  const int nd = deg == 1 ? 4 : 10;  // local dofs (nodes) per tet
+  const int64_t num_dofs = int64_t(gp) * gp * gp;  // NODES (scalar dofs = *bs)
   const int64_t num_cells = 6LL * n * n * n;
+  const double mu_ = 1.0, lam_ = 1.25;  // bs=3 Lame parameters (bench.py)
 
   auto gnode = [gp](int i, int j, int k) -> int32_t {
     return (int32_t(i) * gp + j) * gp + k;
@@ -152,7 +159,8 @@ int main(int argc, char** argv) {
 
   // --- sparsity pattern (setup, untimed — the reference also preallocates
   // via create_sparsity_pattern before the timed assembly) ---
-  std::vector<int64_t> pairs;
+  const int64_t num_sdofs = num_dofs * bs;  // scalar dof count
+  std::vector<int64_t> pairs;  // NODE pairs; expanded by bs*bs into the CSR
   pairs.reserve(int64_t(nd) * nd * num_cells + num_dofs);
   for (int64_t c = 0; c < num_cells; ++c) {
     int32_t tgt[10];
@@ -168,13 +176,27 @@ int main(int argc, char** argv) {
     pairs.push_back(v * num_dofs + v);  // bc / slave diagonals
   std::sort(pairs.begin(), pairs.end());
   pairs.erase(std::unique(pairs.begin(), pairs.end()), pairs.end());
-  std::vector<int64_t> rowptr(num_dofs + 1, 0);
-  std::vector<int32_t> colidx(pairs.size());
-  for (size_t e = 0; e < pairs.size(); ++e) {
-    rowptr[pairs[e] / num_dofs + 1]++;
-    colidx[e] = int32_t(pairs[e] % num_dofs);
+  std::vector<int64_t> rowptr(num_sdofs + 1, 0);
+  std::vector<int32_t> colidx(pairs.size() * bs * bs);
+  {
+    // per-node-row entry counts -> scalar rows (each node row repeats bs
+    // times, each node pair contributes bs columns per scalar row)
+    for (size_t e = 0; e < pairs.size(); ++e) {
+      int64_t nr = pairs[e] / num_dofs;
+      for (int i = 0; i < bs; ++i) rowptr[nr * bs + i + 1] += bs;
+    }
+    for (int64_t rr = 0; rr < num_sdofs; ++rr) rowptr[rr + 1] += rowptr[rr];
+    std::vector<int64_t> fill(rowptr.begin(), rowptr.end() - 1);
+    for (size_t e = 0; e < pairs.size(); ++e) {
+      int64_t nr = pairs[e] / num_dofs;
+      int32_t nc = int32_t(pairs[e] % num_dofs);
+      for (int i = 0; i < bs; ++i)
+        for (int j = 0; j < bs; ++j)
+          colidx[fill[nr * bs + i]++] = nc * bs + j;
+    }
+    // columns within each scalar row are already sorted (node pairs sorted,
+    // bs-expansion preserves order)
   }
-  for (int64_t rr = 0; rr < num_dofs; ++rr) rowptr[rr + 1] += rowptr[rr];
   pairs.clear(); pairs.shrink_to_fit();
   std::vector<double> data(colidx.size());
 
@@ -225,7 +247,10 @@ int main(int argc, char** argv) {
         gl[0][d] = -(gl[1][d] + gl[2][d] + gl[3][d]);
       }
       double absdet = std::fabs(det);
-      double Ae[10][10] = {};
+      // element tensor over SCALAR dofs: (nd*bs) x (nd*bs); bs=1 Laplacian
+      // or bs=3 elasticity (mu*(d_ij g_a.g_b + g_b[i] g_a[j]) + lam*
+      // g_b[j] g_a[i] — 2*mu*sym:sym + lam*div*div contracted analytically)
+      double Ae[30][30] = {};
       for (int q = 0; q < nq; ++q) {
         double g[10][3];
         for (int a = 0; a < nd; ++a)
@@ -233,35 +258,54 @@ int main(int argc, char** argv) {
             g[a][d] = C[q][a][0] * gl[0][d] + C[q][a][1] * gl[1][d] +
                       C[q][a][2] * gl[2][d] + C[q][a][3] * gl[3][d];
         double w = qw[q] * absdet;
-        for (int a = 0; a < nd; ++a)
-          for (int b = 0; b < nd; ++b)
-            Ae[a][b] += w * (g[a][0] * g[b][0] + g[a][1] * g[b][1] + g[a][2] * g[b][2]);
+        if (bs == 1) {
+          for (int a = 0; a < nd; ++a)
+            for (int b = 0; b < nd; ++b)
+              Ae[a][b] +=
+                  w * (g[a][0] * g[b][0] + g[a][1] * g[b][1] + g[a][2] * g[b][2]);
+        } else {
+          for (int a = 0; a < nd; ++a)
+            for (int b = 0; b < nd; ++b) {
+              double dot =
+                  g[a][0] * g[b][0] + g[a][1] * g[b][1] + g[a][2] * g[b][2];
+              for (int i = 0; i < bs; ++i)
+                for (int j = 0; j < bs; ++j)
+                  Ae[bs * a + i][bs * b + j] +=
+                      w * (mu_ * ((i == j) ? dot : 0.0) +
+                           mu_ * g[b][i] * g[a][j] + lam_ * g[b][j] * g[a][i]);
+            }
+        }
       }
 
-      // Dirichlet: zero bc rows and columns of the element tensor
+      // Dirichlet: zero bc rows and columns of the element tensor (all
+      // components of a bc node)
       bool any_slave = false;
+      const int ndb = nd * bs;
       for (int a = 0; a < nd; ++a) {
         int32_t d = dof[a];
         if (is_bc[d])
-          for (int b = 0; b < nd; ++b) { Ae[a][b] = 0.0; Ae[b][a] = 0.0; }
+          for (int i = 0; i < bs; ++i)
+            for (int b = 0; b < ndb; ++b) {
+              Ae[bs * a + i][b] = 0.0;
+              Ae[b][bs * a + i] = 0.0;
+            }
         any_slave |= bool(is_slave[d]);
       }
 
-      if (!any_slave) {
-        for (int a = 0; a < nd; ++a)
-          for (int b = 0; b < nd; ++b)
-            insert(dof[a], dof[b], Ae[a][b]);
-      } else {
+      {
         // modify_mpc_cell semantics: replace each slave row/col by its
-        // flattened (master, coeff) expansion
+        // flattened (master, coeff) expansion (identity when no slaves)
         int32_t tgt[10];
         for (int a = 0; a < nd; ++a) {
           int32_t d = dof[a];
-          tgt[a] = is_slave[d] ? master_of[d] : d;
+          tgt[a] = (any_slave && is_slave[d]) ? master_of[d] : d;
         }
         for (int a = 0; a < nd; ++a)
           for (int b = 0; b < nd; ++b)
-            insert(tgt[a], tgt[b], Ae[a][b]);
+            for (int i = 0; i < bs; ++i)
+              for (int j = 0; j < bs; ++j)
+                insert(tgt[a] * bs + i, tgt[b] * bs + j,
+                       Ae[bs * a + i][bs * b + j]);
       }
     }
     // diagonal values for bc and slave dofs (reference: diagval inserts
@@ -270,7 +314,9 @@ int main(int argc, char** argv) {
 #pragma omp parallel for schedule(static)
 #endif
     for (int64_t v = 0; v < num_dofs; ++v)
-      if (is_bc[v] || is_slave[v]) insert(int32_t(v), int32_t(v), 1.0);
+      if (is_bc[v] || is_slave[v])
+        for (int i = 0; i < bs; ++i)
+          insert(int32_t(v * bs + i), int32_t(v * bs + i), 1.0);
     auto t1 = std::chrono::steady_clock::now();
     double dt = std::chrono::duration<double>(t1 - t0).count();
     if (dt < best) best = dt;
@@ -278,14 +324,14 @@ int main(int argc, char** argv) {
 
   // optional dump for the correctness cross-check against the jax
   // assembler (tests/test_ref_baseline.py): triplets + dof grid coords, text
-  if (argc > 4) {
+  if (argc > 4 && argv[4][0] != '-') {
     FILE* f = std::fopen(argv[4], "w");
     for (int i = 0; i < gp; ++i)
       for (int j = 0; j < gp; ++j)
         for (int k = 0; k < gp; ++k)
           std::fprintf(f, "v %.17g %.17g %.17g\n", double(i) / (gp - 1),
                        double(j) / (gp - 1), double(k) / (gp - 1));
-    for (int64_t rr = 0; rr < num_dofs; ++rr)
+    for (int64_t rr = 0; rr < num_sdofs; ++rr)
       for (int64_t e = rowptr[rr]; e < rowptr[rr + 1]; ++e)
         std::fprintf(f, "e %lld %d %.17g\n", (long long)rr, colidx[e], data[e]);
     std::fclose(f);
@@ -295,12 +341,12 @@ int main(int argc, char** argv) {
 #ifdef _OPENMP
   threads = omp_get_max_threads();
 #endif
-  double mdof_s = double(num_dofs) / 1e6 / best;
+  double mdof_s = double(num_sdofs) / 1e6 / best;
   std::printf(
-      "{\"n\": %d, \"degree\": %d, \"dofs\": %lld, \"cells\": %lld, \"nnz\": %zu, "
-      "\"threads\": %d, \"assembly_s\": %.6f, \"mdof_s\": %.3f, "
+      "{\"n\": %d, \"degree\": %d, \"bs\": %d, \"dofs\": %lld, \"cells\": %lld, "
+      "\"nnz\": %zu, \"threads\": %d, \"assembly_s\": %.6f, \"mdof_s\": %.3f, "
       "\"mcells_s\": %.3f}\n",
-      n, deg, (long long)num_dofs, (long long)num_cells, colidx.size(), threads,
-      best, mdof_s, double(num_cells) / 1e6 / best);
+      n, deg, bs, (long long)num_sdofs, (long long)num_cells, colidx.size(),
+      threads, best, mdof_s, double(num_cells) / 1e6 / best);
   return 0;
 }

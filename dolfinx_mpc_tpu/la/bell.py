@@ -147,7 +147,9 @@ class BellMatrix:
 def _bell_matvec_pallas(nblk, mt, R, C, ntc, interpret=False):
     """Pallas TPU kernel: grid over row-block groups; data tiles stream
     through the pipeline, x tile-grid stays whole in VMEM, column tile ids
-    come from SMEM via scalar prefetch."""
+    stream per-step into SMEM.  (Scalar-PREFETCHING the whole cols array
+    overflows the 1MB SMEM at contact scale — nblk*mt ints was 4.8MB at
+    1M dofs; the blocked SMEM operand is G*mt ints per step.)"""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -160,23 +162,24 @@ def _bell_matvec_pallas(nblk, mt, R, C, ntc, interpret=False):
             break
 
     def kernel(cols_ref, data_ref, x_ref, out_ref):
-        i = pl.program_id(0)
         for g in range(G):
             acc = jnp.zeros((R, C), jnp.float32)
             for t in range(mt):
-                tidx = cols_ref[i * G + g, t]
+                tidx = cols_ref[g, t]
                 xs = x_ref[pl.ds(tidx, 1), :]  # (1, C) sublane slice
                 acc = acc + data_ref[g, t] * xs
             out_ref[g, :] = jnp.sum(acc, axis=1)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    grid_spec = pl.GridSpec(
         grid=(nblk // G,),
         in_specs=[
-            pl.BlockSpec((G, mt, R, C), lambda i, cols: (i, 0, 0, 0)),
-            pl.BlockSpec((ntc, C), lambda i, cols: (0, 0)),
+            pl.BlockSpec((G, mt), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, mt, R, C), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ntc, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((G, R), lambda i, cols: (i, 0)),
+        out_specs=pl.BlockSpec((G, R), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
     )
     return jax.jit(pl.pallas_call(
         kernel,
@@ -187,7 +190,7 @@ def _bell_matvec_pallas(nblk, mt, R, C, ntc, interpret=False):
 
 
 def bell_from_scipy(A, R=8, C=128, mt_cap=None, mt_quantile=99.0,
-                    dtype=np.float32):
+                    dtype=np.float32, _bchunk=None):
     """Convert a scipy sparse matrix to BELL.
 
     mt (tiles per row block) is min(max needed, `mt_cap` or the
@@ -231,12 +234,26 @@ def bell_from_scipy(A, R=8, C=128, mt_cap=None, mt_quantile=99.0,
     keep_e = keep_u[inv]
     slot_e = slot_u[inv]
     # scatter-add via bincount on linear indices (np.add.at is ~20x slower
-    # at tens of millions of entries)
+    # at tens of millions of entries), CHUNKED over block ranges so the
+    # float64 bincount target stays ~1 GB instead of nblk*mt*R*C*8 bytes
+    # (tens of GB at 1M-dof contact scale)
     lin = (((blk[keep_e] * mt + slot_e[keep_e]) * R + row[keep_e] % R) * C
            + col[keep_e] % C)
-    total = nblk * mt * R * C
-    data = np.bincount(lin, weights=val[keep_e], minlength=total)
-    data = data.astype(dtype).reshape(nblk, mt, R, C)
+    data = np.empty(nblk * mt * R * C, dtype=dtype)
+    bchunk = _bchunk or max(1, int(1e9 / (mt * R * C * 8)))
+    stride = mt * R * C
+    order_l = np.argsort(blk[keep_e], kind="stable")
+    lin_s = lin[order_l]
+    val_s = val[keep_e][order_l]
+    blk_s = blk[keep_e][order_l]
+    for b0 in range(0, nblk, bchunk):
+        b1 = min(b0 + bchunk, nblk)
+        e0, e1 = np.searchsorted(blk_s, [b0, b1])
+        seg = np.bincount(lin_s[e0:e1] - b0 * stride,
+                          weights=val_s[e0:e1],
+                          minlength=(b1 - b0) * stride)
+        data[b0 * stride: b1 * stride] = seg
+    data = data.reshape(nblk, mt, R, C)
 
     ov = ~keep_e
     order = np.argsort(row[ov], kind="stable")

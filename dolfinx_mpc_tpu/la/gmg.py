@@ -80,11 +80,17 @@ class LatticeGMG:
         return x.reshape(n0, n1, n2, A.dia.bs)
 
     def _smooth(self, lvl, x, b, n_sweeps):
+        # fori_loop, not Python unroll: each unrolled sweep inlines another
+        # full SpMV program instance per level — at 10.2M-dof P2 the
+        # resulting HLO crashed the remote compiler helper (round-2 open
+        # item); the rolled loop compiles ONE SpMV instance per level
         A = self.ops[lvl]
         inv = self._inv_diag[lvl]
-        for _ in range(n_sweeps):
-            x = x + self.omega * inv * (b - A.matvec(x))
-        return x
+
+        def body(_, xi):
+            return xi + self.omega * inv * (b - A.matvec(xi))
+
+        return jax.lax.fori_loop(0, n_sweeps, body, x)
 
     def _restrict(self, lvl, r):
         # R = P^T exactly (x2 per coarsened axis on top of full weighting):
@@ -161,20 +167,45 @@ class LatticeGMG:
         return obj
 
 
-def build_gmg_hierarchy(make_compiled_form, n, n_levels, min_n=4):
+def build_gmg_hierarchy(make_compiled_form, n, n_levels, min_n=4,
+                        coarse_on_cpu=False):
     """Build ([finest ... coarsest] LatticeOperators, free-dof masks) by
     re-discretization.
 
     make_compiled_form(n) must return a CompiledLatticeForm for mesh
     resolution n (same physics, bcs, and constraints regenerated
-    geometrically on each level)."""
+    geometrically on each level).
+
+    coarse_on_cpu assembles levels 1+ under the local CPU backend and
+    device_puts the few-MB result: each coarse level otherwise pays a fresh
+    accelerator compile of its assembly program (~40-60 s through a remote
+    compile service) for an operator that takes seconds to build locally."""
+    import os
+
     ops, masks = [], []
     for l in range(n_levels):
         nl = n >> l
         if nl < min_n:
             break
-        clf = make_compiled_form(nl)
-        ops.append(clf.assemble())
+        if coarse_on_cpu and l > 0:
+            # XLA (non-pallas) path on host: Mosaic kernels don't lower on
+            # the CPU backend, and the coarse op must be backend-portable
+            prev = os.environ.get("DMT_NO_PALLAS")
+            os.environ["DMT_NO_PALLAS"] = "1"
+            try:
+                with jax.default_device(jax.devices("cpu")[0]):
+                    clf = make_compiled_form(nl)
+                    op = clf.assemble()
+            finally:
+                if prev is None:
+                    del os.environ["DMT_NO_PALLAS"]
+                else:
+                    os.environ["DMT_NO_PALLAS"] = prev
+            op = jax.device_put(op, jax.devices()[0])
+        else:
+            clf = make_compiled_form(nl)
+            op = clf.assemble()
+        ops.append(op)
         m = np.ones(clf.V.num_dofs, np.float32)
         m[np.asarray(clf._bc_dofs_grid)] = 0.0
         if clf.mpc is not None and clf.mpc.num_local_slaves:

@@ -108,7 +108,7 @@ class DIAMatrix:
         # HBM roofline
         import os as _os
 
-        if (bs == 1 and self.data.dtype == jnp.float32
+        if (bs <= 3 and self.data.dtype == jnp.float32
                 and x.dtype == jnp.float32  # f64/complex x: XLA path keeps
                 # the promoted dtype; the pallas kernel would silently
                 # downcast (ADVICE r2)
@@ -118,10 +118,16 @@ class DIAMatrix:
                 # lowering (ADVICE r2)
                 and jax.default_backend() in ("tpu", "axon")
                 and not _os.environ.get("DMT_NO_PALLAS")):
-            from .pallas_lattice import dia_matvec_supported, make_dia_matvec_pallas
+            from .pallas_lattice import (dia_matvec_supported,
+                                         make_dia_matvec_bs_pallas,
+                                         make_dia_matvec_pallas)
 
-            if dia_matvec_supported(self.offsets, self.vshape, bs):
+            if bs == 1 and dia_matvec_supported(self.offsets, self.vshape, bs):
                 mv = make_dia_matvec_pallas(self.offsets, self.vshape)
+                return mv(self.data, x.astype(jnp.float32))
+            if (bs > 1 and n2 > 1
+                    and all(abs(di) <= 2 for di, _, _ in self.offsets)):
+                mv = make_dia_matvec_bs_pallas(self.offsets, self.vshape, bs)
                 return mv(self.data, x.astype(jnp.float32))
         # (bs, n0, n1, n2) component-major grids: every op below is a static
         # slice + FMA — no einsum (a bs=1 einsum lowers to batched 1x1
@@ -1355,8 +1361,9 @@ class CompiledLatticeForm:
         """Same contract as _assemble_fold_lean, via the fused pallas kernel
         (ops/pallas_lattice.py; verified entry-identical in
         tests/test_pallas_lattice.py)."""
-        data = self._pallas_raw(jitter)  # (n_off, n0, n1, n2) unmasked
-        data = data[:, None, None]
+        data = self._pallas_raw(jitter)  # (n_off * bs * bs, n0, n1, n2) unmasked
+        n0, n1, n2 = self.vshape
+        data = data.reshape(len(self.offsets), self.bs, self.bs, n0, n1, n2)
         data = self._zero_bc_on_grid(data, keep_grid)
         data = self._diag_adds(data, diagval)
         dia = DIAMatrix(data, self.offsets, self.vshape, self.bs)

@@ -32,6 +32,18 @@ __all__ = ["make_lean_fold_pallas", "make_lean_blocked_pallas",
            "make_blocked_matvec_pallas", "pallas_supported"]
 
 
+def _matvec_budget(n1, n2, n_resident_planes):
+    """Data rows of one (1, n1, n2) f32 plane that fit VMEM next to
+    `n_resident_planes` always-resident planes (x halo blocks + y block,
+    both double-buffered by the pipeline), with double buffering on the
+    data block itself.  Direct accounting — the assembler's calibrated
+    26-bytes/point heuristic over-reserves ~8x for matvecs, splitting them
+    into O(10) pallas calls whose partial-y sums dominate the runtime."""
+    padded = (-(-n1 // 8) * 8) * (-(-n2 // 128) * 128) * 4
+    avail = 14e6 - n_resident_planes * padded * 2
+    return max(1, int(avail / (2 * padded)))
+
+
 def _plane_budget(n1, n2, reserve=0):
     """How many (1, n1, n2) f32 plane blocks fit the ~16MB scoped-VMEM
     budget, counting the Mosaic (8, 128) TILE PADDING (dominant for small
@@ -43,30 +55,27 @@ def _plane_budget(n1, n2, reserve=0):
     return max(1, int(13e6 / (26 * padded)) - reserve)
 
 
-def _probe_constant_M(term, gdim):
-    """Constant feature matrix of a scalar bilinear integrand: features are
-    [value, d/dx, d/dy, d/dz]; integrand(u, v, ctx) must be bilinear with
-    x-independent coefficients and no FEM coefficients (same probing idea as
-    ops/soa_kernels.py).  Returns (4, 4) numpy M or None."""
+def _probe_constant_M(term, gdim, bs=1):
+    """Constant feature matrix of a bilinear integrand: features per
+    component k are [value_k, d/dx_k, d/dy_k, d/dz_k] (the soa_kernels
+    layout alpha = k*(1+g) + {0, 1+t}); integrand(u, v, ctx) must be
+    bilinear with x-independent coefficients and no FEM coefficients.
+    Returns (bs*(1+gdim), bs*(1+gdim)) numpy M or None."""
     if term.coefficients:
         return None
-    from ..fem.forms import Arg, Ctx
+    from ..fem.forms import Ctx
 
-    nF = 1 + gdim
-    probes = []
-    for f in range(nF):
-        val = 1.0 if f == 0 else 0.0
-        grd = np.zeros(gdim)
-        if f > 0:
-            grd[f - 1] = 1.0
-        probes.append(Arg(val, grd))
+    from .soa_kernels import _unit_features
+
+    nFb = bs * (1 + gdim)
+    probes = _unit_features(bs, gdim)
     consts = {k: np.asarray(v) for k, v in term.constants.items()}
 
     def mat(x):
-        out = np.zeros((nF, nF))
+        out = np.zeros((nFb, nFb))
         ctx = Ctx(np.asarray(x), None, dict(consts))
-        for f in range(nF):
-            for g in range(nF):
+        for f in range(nFb):
+            for g in range(nFb):
                 try:
                     v = complex(np.asarray(term.integrand(probes[f], probes[g], ctx)))
                 except Exception:
@@ -87,21 +96,25 @@ def _probe_constant_M(term, gdim):
 
 
 def pallas_supported(clf) -> bool:
-    """Covers scalar 3D lean-fold forms with constant coefficients at
-    degrees 1-2 (the flagship + the reference's canonical --degree 2)."""
+    """Covers 3D lean-fold forms with constant coefficients: scalar at
+    degrees 1-2 (flagship + the reference's canonical --degree 2) and
+    block size <= 3 (vector elasticity, bench_elasticity_edge) at
+    degree 1."""
     if not (
         clf._lean
-        and clf.bs == 1
         and clf.refine in (1, 2)
+        and (clf.bs == 1 or (clf.bs <= 3 and clf.refine == 1))
         and clf.mesh.tdim == 3
         and np.dtype(clf.dtype) == np.float32
     ):
         return False
-    return _probe_constant_M(clf.term, clf.mesh.gdim) is not None
+    return _probe_constant_M(clf.term, clf.mesh.gdim, clf.bs) is not None
 
 
 def make_lean_fold_pallas(clf, interpret=False, max_off=None):
-    """Build assemble(jitter) -> UNMASKED data (n_off, n0, n1, n2).
+    """Build assemble(jitter) -> UNMASKED data (n_off * bs * bs, n0, n1, n2)
+    with plane order (offset, test component ci, trial component cj) —
+    reshape to DIAMatrix's (n_off, bs, bs, n0, n1, n2).
 
     BC row/col masking + diagval stay in XLA (measured ~0.08 ms at n=64;
     Mosaic cannot lower the shifted-mask pads yet).
@@ -113,9 +126,10 @@ def make_lean_fold_pallas(clf, interpret=False, max_off=None):
     n0, n1, n2 = clf.vshape
     offsets = clf.offsets
     n_off = len(offsets)
-    # offsets per call bounded by the 16MB scoped-VMEM limit (tile-padded)
+    # offsets per call bounded by the 16MB scoped-VMEM limit (tile-padded);
+    # each offset owns bs^2 output planes
     if max_off is None:
-        max_off = _plane_budget(n1, n2)
+        max_off = max(1, _plane_budget(n1, n2) // (clf.bs * clf.bs))
     if max_off >= n_off:
         return _make_lean_fold_pallas_group(clf, list(range(n_off)), interpret)
     groups = [list(range(i, min(i + max_off, n_off))) for i in range(0, n_off, max_off)]
@@ -161,12 +175,25 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False):
     if qdeg is None:
         qdeg = 2 * el.degree
     qpts, qw = quadrature_rule(clf.mesh.ref_cell, qdeg)
-    phi = el.tabulate(qpts)  # (nq, nd)
+    phi = el.tabulate(qpts)  # (nq, nd) scalar nodes
     dref = el.tabulate_grad(qpts)  # (nq, nd, 3)
     nq = len(qw)
-    M = _probe_constant_M(clf.term, clf.mesh.gdim)
+    bs = clf.bs
+    nF = 1 + clf.mesh.gdim  # per-component features [value, dx, dy, dz]
+    M = _probe_constant_M(clf.term, clf.mesh.gdim, bs)
     assert M is not None
-    nzM = [(f, g) for f in range(4) for g in range(4) if abs(M[f, g]) > 0.0]
+    # nonzero (f, g) feature pairs per (test ci, trial cj) component block:
+    # u = trial lives at rows cj*nF + f, v = test at cols ci*nF + g
+    nzM = {
+        (ci, cj): [
+            (f, g)
+            for f in range(nF)
+            for g in range(nF)
+            if abs(M[cj * nF + f, ci * nF + g]) > 0.0
+        ]
+        for ci in range(bs)
+        for cj in range(bs)
+    }
 
     # group moves by the x component of the corner delta
     by_dax = {d: [] for d in range(r + 1)}
@@ -174,15 +201,56 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False):
         if oid in oid_set:
             by_dax[dax].append((t, a, b, oid_local[oid], day, daz))
 
+    # ---- trace-time scalar reduction -----------------------------------
+    # The lean contract is a UNIFORM lattice whose only runtime input is the
+    # scalar jitter s = 1 + jit: every vertex coordinate is s * (const), so
+    # det scales as s^3 and each physical-gradient feature as 1/s.  A move's
+    # element value is therefore the closed form
+    #     ae(s) = c0 * s^3 + c1 * s^2 + c2 * s     (c_k = sum of M-pairs
+    # with k gradient features, evaluated on the s=1 geometry).  The c_k are
+    # reduced here with numpy and summed over every move sharing an output
+    # window, collapsing the kernel to ~10^2 broadcast window-adds per plane
+    # — write-bound instead of VPU-bound (measured 957 MDoF/s lane version
+    # at n=64 was ~95% VPU-limited).
+    det1 = np.zeros(T)
+    gX1 = np.zeros((T, 3, 3))  # [t, i, d]
+    for t in range(T):
+        J = np.array(
+            [[spacing[d] * (geo[t, v + 1, d] - geo[t, 0, d]) for v in range(3)]
+             for d in range(3)]
+        )
+        det1[t] = np.linalg.det(J)
+        gX1[t] = np.linalg.inv(J)  # [i, d]: ref coord i -> phys coord d
+    # scalar_groups[dax]: {(flat_oid, day, daz): np.array([c0, c1, c2])}
+    scalar_groups = [dict() for _ in range(r + 1)]
+    for dax in range(r + 1):
+        for t, a_, b_, oid, day, daz in by_dax[dax]:
+            absdet = abs(det1[t])
+            for ci in range(bs):
+                for cj in range(bs):
+                    pairs = nzM[(ci, cj)]
+                    if not pairs:
+                        continue
+                    c = np.zeros(3)
+                    for iq in range(nq):
+                        ga = {}
+                        for nd_ in (a_, b_):
+                            ga[nd_] = dref[iq, nd_] @ gX1[t]  # (3,) physical
+                        for f, g_ in pairs:
+                            fu = phi[iq, b_] if f == 0 else ga[b_][f - 1]
+                            fv = phi[iq, a_] if g_ == 0 else ga[a_][g_ - 1]
+                            k = (f > 0) + (g_ > 0)
+                            c[k] += (float(qw[iq]) * absdet
+                                     * M[cj * nF + f, ci * nF + g_] * fu * fv)
+                    keyg = ((oid * bs + ci) * bs + cj, day, daz)
+                    acc = scalar_groups[dax].setdefault(keyg, np.zeros(3))
+                    acc += c
+
     def kernel(jit_ref, out_ref):
         p = pl.program_id(0)
         s_ = 1.0 + jit_ref[0, 0]
         out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
-
-        # lane coordinate grids over the (ny, nz) boxes of one plane
-        # (Mosaic requires integer iota; cast after)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0).astype(jnp.float32)
-        kk = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1).astype(jnp.float32)
+        pw = (s_ * s_ * s_, s_ * s_, s_)  # s^(3-k) for k gradient features
         if r > 1:
             ju = jax.lax.broadcasted_iota(jnp.int32, (r * ny, r * nz), 0)
             ku = jax.lax.broadcasted_iota(jnp.int32, (r * ny, r * nz), 1)
@@ -202,100 +270,44 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False):
             w2 = min(r * nz, n2 - daz)
             out_ref[oid, 0, day : day + w1, daz : daz + w2] += up[:w1, :w2]
 
-        def plane_contribution(q, moves_list, w):
-            # per-cell geometry pipeline for box plane q, all (ny, nz) lanes
-            qf = q.astype(jnp.float32)
-            for t in range(T):
-                tab = [m for m in moves_list if m[0] == t]
-                if not tab:
-                    continue
-                verts = []
-                for v in range(4):
-                    dx, dy, dz = (float(geo[t, v, d]) for d in range(3))
-                    verts.append((
-                        s_ * (origin[0] + spacing[0] * (qf + dx)),
-                        s_ * (origin[1] + spacing[1] * (jj + dy)),
-                        s_ * (origin[2] + spacing[2] * (kk + dz)),
-                    ))
-                J = [[verts[a_ + 1][d] - verts[0][d] for a_ in range(3)] for d in range(3)]
-                cof = [[None] * 3 for _ in range(3)]
-                cof[0][0] = J[1][1] * J[2][2] - J[1][2] * J[2][1]
-                cof[0][1] = J[1][2] * J[2][0] - J[1][0] * J[2][2]
-                cof[0][2] = J[1][0] * J[2][1] - J[1][1] * J[2][0]
-                cof[1][0] = J[0][2] * J[2][1] - J[0][1] * J[2][2]
-                cof[1][1] = J[0][0] * J[2][2] - J[0][2] * J[2][0]
-                cof[1][2] = J[0][1] * J[2][0] - J[0][0] * J[2][1]
-                cof[2][0] = J[0][1] * J[1][2] - J[0][2] * J[1][1]
-                cof[2][1] = J[0][2] * J[1][0] - J[0][0] * J[1][2]
-                cof[2][2] = J[0][0] * J[1][1] - J[0][1] * J[1][0]
-                det = J[0][0] * cof[0][0] + J[0][1] * cof[0][1] + J[0][2] * cof[0][2]
-                inv_det = 1.0 / det
-                absdet = jnp.abs(det)
-                # physical gradients of the reference coordinates:
-                # gX[i][d] = cof[d][i] / det  (i = 0..2)
-                gX = [[cof[d][i] * inv_det for d in range(3)] for i in range(3)]
-                acc = [None] * len(tab)
-                used = sorted({m[1] for m in tab} | {m[2] for m in tab})
-                for iq in range(nq):
-                    scale = float(qw[iq]) * absdet
-                    # physical basis gradients for the used local nodes
-                    ga = {}
-                    for a_ in used:
-                        ga[a_] = [
-                            sum(float(dref[iq, a_, i]) * gX[i][d] for i in range(3))
-                            for d in range(3)
-                        ]
-
-                    def feat(a_, f):
-                        # feature f of basis a_: 0 = value (scalar), 1..3 = grad
-                        if f == 0:
-                            return float(phi[iq, a_])
-                        return ga[a_][f - 1]
-
-                    for mi, (tt, a_, b_, oid, day, daz) in enumerate(tab):
-                        term_sum = None
-                        for f, g_ in nzM:
-                            # integrand(u, v): u = trial = b_, v = test = a_
-                            fu = feat(b_, f)
-                            fv = feat(a_, g_)
-                            contrib = float(M[f, g_]) * fu * fv if not (
-                                isinstance(fu, float) and isinstance(fv, float)
-                            ) else float(M[f, g_]) * fu * fv
-                            term_sum = contrib if term_sum is None else term_sum + contrib
-                        part = scale * term_sum
-                        acc[mi] = part if acc[mi] is None else acc[mi] + part
-                for mi, (tt, a_, b_, oid, day, daz) in enumerate(tab):
-                    ae = w * acc[mi]
-                    if not hasattr(ae, "shape") or ae.shape != (ny, nz):
-                        ae = jnp.broadcast_to(jnp.asarray(ae, jnp.float32), (ny, nz))
-                    place(oid, day, daz, ae)
-
         # plane p = r*q + dax: for each dax class, the contributing box plane
-        # q = (p - dax)/r when integer and in range (weight 0 otherwise)
+        # exists when (p - dax) is a valid multiple of r (weight 0 otherwise);
+        # every surviving move is a precomputed closed-form scalar in s_
         for dax in range(r + 1):
-            if not by_dax[dax]:
+            groups = scalar_groups[dax]
+            if not groups:
                 continue
             qnum = p - dax
             ok = (qnum >= 0) & (qnum < r * nx)
             if r > 1:
                 ok = ok & (qnum % r == 0)
-            q = jnp.clip(qnum // r, 0, nx - 1)
             w = jnp.where(ok, 1.0, 0.0)
-            plane_contribution(q, by_dax[dax], w)
+            for (oid, day, daz), c in groups.items():
+                val = None
+                for k in range(3):
+                    if c[k] == 0.0:
+                        continue
+                    term = jnp.float32(c[k]) * pw[k]
+                    val = term if val is None else val + term
+                if val is None:
+                    continue
+                ae = jnp.broadcast_to((w * val).astype(jnp.float32), (ny, nz))
+                place(oid, day, daz, ae)
 
+    n_pl = n_off * bs * bs  # output planes: (offset, test ci, trial cj)
     grid_spec = pl.GridSpec(
         grid=(n0,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda p: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (n_off, 1, n1, n2), lambda p: (0, p, 0, 0), memory_space=pltpu.VMEM
+            (n_pl, 1, n1, n2), lambda p: (0, p, 0, 0), memory_space=pltpu.VMEM
         ),
     )
 
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_off, n0, n1, n2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pl, n0, n1, n2), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )
@@ -353,7 +365,8 @@ def make_dia_matvec_pallas(offsets, vshape, interpret=False, max_off=None):
     sum."""
     n0, n1, n2 = vshape
     if max_off is None:
-        max_off = _plane_budget(n1, n2, reserve=2 * max(abs(d[0]) for d in offsets) + 1)
+        W_ = max(abs(d[0]) for d in offsets)
+        max_off = _matvec_budget(n1, n2, 2 * W_ + 2)
     n_off = len(offsets)
     if max_off >= n_off:
         return _make_dia_matvec_group(offsets, vshape, interpret)
@@ -430,6 +443,93 @@ def _make_dia_matvec_group(offsets, vshape, interpret=False):
     return matvec
 
 
+# ---------------------------------------------------------------------------
+# blocked (bs > 1) DIA matvec: component-major vector grids, one plane
+# program per x-plane; each (offset, ci, cj) row is a roll+mask FMA from
+# trial-component grid cj into test-component accumulator ci — the vector
+# (elasticity) counterpart of the scalar kernel above.
+# ---------------------------------------------------------------------------
+
+
+def make_dia_matvec_bs_pallas(offsets, vshape, bs, interpret=False, max_rows=None):
+    """y[(v, ci)] = sum_{d, cj} data[d, ci, cj, v] * x[(v + off_d, cj)].
+    Splits the flattened (offset, ci, cj) data rows across pallas calls when
+    the double-buffered row block exceeds the VMEM budget."""
+    key = ("bsmv", tuple(offsets), tuple(vshape), bs, interpret)
+    if key in _matvec_cache:
+        return _matvec_cache[key]
+    n0, n1, n2 = vshape
+    W = max(abs(di) for di, _, _ in offsets)
+    rows = [(d, off, ci, cj) for d, off in enumerate(offsets)
+            for ci in range(bs) for cj in range(bs)]
+    if max_rows is None:
+        max_rows = _matvec_budget(n1, n2, (2 * W + 2) * bs)
+
+    def make_call(sub):
+        n_r = len(sub)
+
+        def kernel(*refs):
+            x_refs = refs[: 2 * W + 1]
+            d_ref, y_ref = refs[2 * W + 1], refs[2 * W + 2]
+            jj = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
+            kk = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
+            acc = [None] * bs
+            for ri, (d, (di, dj, dk), ci, cj) in enumerate(sub):
+                sh = x_refs[di + W][cj, 0]
+                if dj:
+                    sh = pltpu.roll(sh, -dj % n1, 0)
+                if dk:
+                    sh = pltpu.roll(sh, -dk % n2, 1)
+                valid = ((jj + dj >= 0) & (jj + dj < n1)
+                         & (kk + dk >= 0) & (kk + dk < n2))
+                term = d_ref[ri, 0] * jnp.where(valid, sh, 0.0)
+                acc[ci] = term if acc[ci] is None else acc[ci] + term
+            zero = jnp.zeros((n1, n2), jnp.float32)
+            y_ref[:, 0] = jnp.stack([a if a is not None else zero for a in acc])
+
+        xspec = [
+            pl.BlockSpec((bs, 1, n1, n2), (lambda p, s=s: (0, p + s, 0, 0)),
+                         memory_space=pltpu.VMEM)
+            for s in range(2 * W + 1)
+        ]
+        grid_spec = pl.GridSpec(
+            grid=(n0,),
+            in_specs=xspec + [
+                pl.BlockSpec((n_r, 1, n1, n2), lambda p: (0, p, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bs, 1, n1, n2), lambda p: (0, p, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((bs, n0, n1, n2), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )
+
+    subs = [rows[i: i + max_rows] for i in range(0, len(rows), max_rows)]
+    calls = [make_call(sub) for sub in subs]
+    bounds = []
+    i0 = 0
+    for sub in subs:
+        bounds.append((i0, i0 + len(sub)))
+        i0 += len(sub)
+
+    def matvec(data, x):
+        # data: (n_off, bs, bs, n0, n1, n2); x flat interleaved (n*bs,)
+        xg = jnp.moveaxis(x.reshape(n0, n1, n2, bs), -1, 0)
+        xp = jnp.pad(xg, ((0, 0), (W, W), (0, 0), (0, 0)))
+        flat = data.reshape(-1, n0, n1, n2)  # rows in (d, ci, cj) order
+        y = None
+        for call, (g0, g1) in zip(calls, bounds):
+            yg = call(*([xp] * (2 * W + 1)), flat[g0:g1])
+            y = yg if y is None else y + yg
+        return jnp.moveaxis(y, 0, -1).reshape(-1)
+
+    _matvec_cache[key] = matvec
+    return matvec
+
 
 # ---------------------------------------------------------------------------
 # parity-blocked SpMV: BLOCKED vectors, compressed (per-triple) data.
@@ -461,7 +561,7 @@ def make_blocked_matvec_pallas(trips, vshape, r3, interpret=False, max_m=None):
     n_cls = len(classes)
     W = max(abs(off[0]) for _, _, off in trips)  # coarse x halo (1)
     if max_m is None:
-        max_m = _plane_budget(s1, s2, reserve=(2 * W + 2) * n_cls)
+        max_m = _matvec_budget(s1, s2, (2 * W + 2) * n_cls)
 
     def make_call(sub):
         """sub: list of (global_m, trip); data rows sliced contiguously."""

@@ -21,11 +21,15 @@ def main(n=500_000):
     from dolfinx_mpc_tpu.la.bell import bell_from_scipy
 
     rng = np.random.default_rng(0)
-    nnz_per_row = 15
-    rows = np.repeat(np.arange(n), nnz_per_row)
-    # mesh-like locality: neighbors within a +-3*n^(2/3) window
-    spread = int(3 * n ** (2 / 3))
-    cols = np.clip(rows + rng.integers(-spread, spread + 1, rows.shape[0]), 0, n - 1)
+    # mesh-like banded pattern (bs=3 blocked 7-point stencil on an m^3 grid):
+    # BELL assumes the tile locality real FEM matrices have — a uniformly
+    # random pattern has ~120 distinct col tiles per 8-row block and blows
+    # the conversion up to a 15 GB dense target
+    m = max(2, int(round((n / 3) ** (1 / 3))))
+    deltas = [0, 1, 2, -1, -2, 3, -3, 3 * m, -3 * m, 3 * m * m, -3 * m * m,
+              3 * (m + 1), -3 * (m + 1), 3 * m * (m + 1), -3 * m * (m + 1)]
+    rows = np.repeat(np.arange(n), len(deltas))
+    cols = np.clip(rows + np.tile(np.asarray(deltas), n), 0, n - 1)
     vals = rng.standard_normal(rows.shape[0])
     A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
     B = bell_from_scipy(A)

@@ -108,3 +108,18 @@ def test_bell_pallas_interpret_matches_xla():
     xg = x2[B.cols]
     yb_xla = jnp.sum(B.data * xg[:, :, None, :], axis=(1, 3))
     assert np.abs(np.asarray(yb_pl) - np.asarray(yb_xla)).max() < 1e-4
+
+
+def test_chunked_conversion_matches():
+    """The block-chunked bincount conversion equals the single-shot one."""
+    import scipy.sparse as sp
+
+    from dolfinx_mpc_tpu.la.bell import bell_from_scipy
+
+    rng = np.random.default_rng(4)
+    n = 700
+    A = sp.random(n, n, density=0.01, random_state=3, format="csr") + sp.eye(n)
+    B1 = bell_from_scipy(A)
+    B2 = bell_from_scipy(A, _bchunk=3)
+    assert np.abs(np.asarray(B1.data) - np.asarray(B2.data)).max() == 0.0
+    assert (np.asarray(B1.cols) == np.asarray(B2.cols)).all()
