@@ -217,6 +217,54 @@ def _load_or_build_hierarchy(make_level, n, degree, build_gmg_hierarchy, bs=1):
     return ops, masks
 
 
+def _ship_to_device(roots, dev):
+    """Move every jax.Array reachable from the package objects in `roots`
+    onto `dev` with batched device_puts (one transfer program per object,
+    not one tunnel round trip per array).  Only walks dolfinx_mpc_tpu
+    objects; plain numpy stays host-side."""
+    import jax
+
+    seen = set()
+
+    def walk(obj):
+        if obj is None or id(obj) in seen:
+            return
+        seen.add(id(obj))
+        if isinstance(obj, (list, tuple)):
+            for x in obj:
+                walk(x)
+            return
+        if isinstance(obj, dict):
+            arr = {k: v for k, v in obj.items() if isinstance(v, jax.Array)}
+            if arr:
+                moved = jax.device_put(list(arr.values()), dev)
+                for k, m in zip(arr, moved):
+                    obj[k] = m
+            for v in obj.values():
+                if not isinstance(v, jax.Array):
+                    walk(v)
+            return
+        if not type(obj).__module__.startswith("dolfinx_mpc_tpu"):
+            return
+        d = getattr(obj, "__dict__", None)
+        if d is None:
+            return
+        arr = {k: v for k, v in d.items() if isinstance(v, jax.Array)}
+        if arr:
+            moved = jax.device_put(list(arr.values()), dev)
+            for k, m in zip(arr, moved):
+                d[k] = m
+        for k, v in d.items():
+            if isinstance(v, (list, tuple)) and v and all(
+                    isinstance(x, jax.Array) for x in v):
+                d[k] = type(v)(jax.device_put(list(v), dev))
+            elif not isinstance(v, jax.Array):
+                walk(v)
+
+    for r in roots:
+        walk(r)
+
+
 def main():
     n = int(os.environ.get("BENCH_N", "64"))
     K = int(os.environ.get("BENCH_CHAIN", "33"))
@@ -284,18 +332,33 @@ def main():
     init_thread.join()  # before the first eager jnp op (finalize)
     log(f"devices: {jax.devices()} (init overlapped with mesh setup, "
         f"{time.time()-init_t0:.1f}s since start)")
-    mpc.finalize()
-    # side format preference: "fold" (plane identification — matching
-    # periodic constraints collapse into the stencil, zero irregular ops) ->
-    # "cells" (unassembled per-cell interface blocks).  Both verified
-    # operator-identical to the assembled CSR side in tests/test_lattice.py.
-    try:
-        clf = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32,
-                                      side_format="fold", x_chunks=xchunks)
-        log("side format: fold" + (" (lean)" if clf._lean else ""))
-    except ValueError:
-        clf = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32, side_format="cells")
-        log("side format: cells")
+    # finalize + table construction run EAGER jnp ops; through the TPU
+    # tunnel each one is a ~40 ms remote dispatch (measured: 118 s of the
+    # n=64 setup was tunnel round trips vs 7.8 s of actual host work on the
+    # CPU backend).  Build everything on the LOCAL CPU backend, then ship
+    # the finished tables to the accelerator in ONE batched device_put.
+    # (BENCH_SETUP_TPU=1 restores the old eager-on-accelerator behaviour.)
+    import contextlib
+
+    cpu0 = jax.devices("cpu")[0]
+    setup_ctx = (contextlib.nullcontext() if os.environ.get("BENCH_SETUP_TPU")
+                 else jax.default_device(cpu0))
+    with setup_ctx:
+        mpc.finalize()
+        # side format preference: "fold" (plane identification — matching
+        # periodic constraints collapse into the stencil, zero irregular
+        # ops) -> "cells" (unassembled per-cell interface blocks).  Both
+        # verified operator-identical to the assembled CSR side in
+        # tests/test_lattice.py.
+        try:
+            clf = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32,
+                                          side_format="fold", x_chunks=xchunks)
+            log("side format: fold" + (" (lean)" if clf._lean else ""))
+        except ValueError:
+            clf = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32,
+                                          side_format="cells")
+            log("side format: cells")
+    _ship_to_device([clf, mpc, bc], jax.devices()[0])
     nnz_msg = ("lean (no side pattern)" if clf.pattern is None
                else f"side nnz {clf.pattern.nnz}")
     log(

@@ -48,7 +48,8 @@ class ShardedLatticeProblem:
 
     def __init__(self, a: Form, L: Form, mpc, bcs=None, device_mesh: Mesh = None,
                  dtype=np.float64, rtol=1e-8, max_it=3000, diagval=1.0,
-                 pc_type="jacobi", cheb_degree=3, cheb_power_iters=20):
+                 pc_type="jacobi", cheb_degree=3, cheb_power_iters=20,
+                 coarse_gmg=None, gmg_pre=2, gmg_post=2, gmg_omega=0.8):
         self.device_mesh = device_mesh if device_mesh is not None else make_device_mesh()
         D = int(self.device_mesh.devices.size)
         self.D = D
@@ -74,6 +75,21 @@ class ShardedLatticeProblem:
         self.pc_type = pc_type
         self.cheb_degree = int(cheb_degree)
         self.cheb_power_iters = int(cheb_power_iters)
+        self.coarse_gmg = coarse_gmg
+        self.gmg_pre, self.gmg_post = int(gmg_pre), int(gmg_post)
+        self.gmg_omega = float(gmg_omega)
+        if pc_type == "gmg":
+            # sharded two-level scheme: the fine level is smoothed/restricted
+            # in x-slabs; the (n/2)-and-down hierarchy runs REPLICATED on
+            # every device (1/8 of fine memory) — the reference's AMG-on-
+            # every-rank analogue without cross-device transfer operators
+            assert coarse_gmg is not None, "pc_type='gmg' needs coarse_gmg"
+            assert nx % 2 == 0 and ny % 2 == 0 and (is2d or nz_ % 2 == 0), (
+                "gmg two-level needs even lattice dims")
+            assert not is2d, "sharded gmg: 3D lattices only"
+            c0 = coarse_gmg.ops[0].dia.vshape
+            assert c0 == (nx // 2 + 1, ny // 2 + 1, nz_ // 2 + 1), (
+                f"coarse hierarchy finest level {c0} != half-resolution grid")
 
         # one SoA kernel per cell term; their element tensors sum (the
         # reference sums integral contributions the same way).  Coefficients
@@ -297,6 +313,54 @@ class ShardedLatticeProblem:
                     wpl[d, p] = 0.0
         self._wpl = jnp.asarray(wpl)
 
+        # ---- two-level GMG transfer tables (pc_type == "gmg") -------------
+        if pc_type == "gmg":
+            # free-dof slab mask: corrections/residuals are projected onto
+            # the unconstrained subspace around the coarse transfer (bc and
+            # slave rows carry identity x diagval and must not pollute the
+            # coarse problem)
+            free = np.ones(V.num_dofs, _real_dtype(dtype))
+            if len(bc_dofs):
+                free[bc_dofs] = 0.0
+            if mpc_r is not None and mpc_r.num_local_slaves:
+                free[np.asarray(mpc_r.slaves)] = 0.0
+            self._free_sh = jnp.asarray(
+                self._to_slabs(free.reshape(nx + 1, n1, n2, bs), D, nxc))
+            nc0 = nx // 2 + 1
+            # restriction scatter: local fine plane p on device d maps to
+            # coarse plane (d*nxc+p)//2 when the global plane is even and
+            # this device owns it (left-owner rule, padding excluded)
+            r_idx = np.zeros((D, nxc + 1), np.int32)
+            r_w = np.zeros((D, nxc + 1), _real_dtype(dtype))
+            # prolongation gather: fine plane g even -> coarse g//2; odd ->
+            # mean of (g-1)/2 and (g+1)/2
+            p_lo = np.zeros((D, nxc + 1), np.int32)
+            p_hi = np.zeros((D, nxc + 1), np.int32)
+            p_wlo = np.zeros((D, nxc + 1), _real_dtype(dtype))
+            p_whi = np.zeros((D, nxc + 1), _real_dtype(dtype))
+            for d in range(D):
+                for p in range(nxc + 1):
+                    g = d * nxc + p
+                    if g > nx:
+                        continue
+                    if g % 2 == 0:
+                        r_idx[d, p] = g // 2
+                        r_w[d, p] = wpl[d, p]
+                        p_lo[d, p] = g // 2
+                        p_wlo[d, p] = 1.0
+                    else:
+                        p_lo[d, p] = (g - 1) // 2
+                        p_hi[d, p] = (g + 1) // 2
+                        p_wlo[d, p] = 0.5
+                        p_whi[d, p] = 0.5
+            self._gmg_tabs = tuple(jnp.asarray(t) for t in
+                                   (r_idx, r_w, p_lo, p_hi, p_wlo, p_whi))
+        else:
+            self._free_sh = jnp.zeros((D, 1), _real_dtype(dtype))
+            z = jnp.zeros((D, 1), np.int32)
+            zf = jnp.zeros((D, 1), _real_dtype(dtype))
+            self._gmg_tabs = (z, zf, z, z, zf, zf)
+
         # backsubstitution tables
         if mpc_r is not None and mpc_r.num_local_slaves:
             self._bs_tabs = (
@@ -351,16 +415,19 @@ class ShardedLatticeProblem:
             hi = hi_partial + jnp.where(me < me_last, 1.0, 0.0).astype(hi_partial.dtype) * from_right
             return lo, hi
 
+        gmg_pre, gmg_post, gmg_omega = self.gmg_pre, self.gmg_post, self.gmg_omega
+        nx_ = nx
+
         def device_step(coords, w_cell, keep, diag_sh, b_sh, Tr_sh, sc_pos, sc_valid,
                         slot_sh, need_idx, need_w, side_sel, side_lrow, side_colp,
-                        side_vw, wpl, side_diag_w, wl_sh):
+                        side_vw, wpl, side_diag_w, wl_sh, free_sh, gmg_tabs, cgmg):
             sq = lambda t: jax.tree_util.tree_map(lambda x: x[0], t)
             (coords, w_cell, keep, diag_sh, b_sh, Tr_sh, sc_pos, sc_valid, slot_sh,
              need_idx, need_w, side_sel, side_lrow, side_colp, side_vw, wpl,
-             side_diag_w, wl_sh) = sq(
+             side_diag_w, wl_sh, free_sh, gmg_tabs) = sq(
                 (coords, w_cell, keep, diag_sh, b_sh, Tr_sh, sc_pos, sc_valid, slot_sh,
                  need_idx, need_w, side_sel, side_lrow, side_colp, side_vw, wpl,
-                 side_diag_w, wl_sh))
+                 side_diag_w, wl_sh, free_sh, gmg_tabs))
 
             # ---- assembly: sum of all cell terms ---------------------------
             Ae = None
@@ -485,6 +552,61 @@ class ShardedLatticeProblem:
                         res = res - inv * matvec(dk)
                         rho = rho_new
                     return xk
+            elif pc_type == "gmg":
+                # sharded two-level V-cycle: slab-local Jacobi smoothing +
+                # x-halo full-weighting restriction, psum-replicated coarse
+                # residual solved by the (n/2)-rooted LatticeGMG hierarchy
+                # (identical deterministic computation on every device),
+                # masked prolongation back onto the slab.  The reference
+                # analogue: BoomerAMG applied rank-parallel inside every KSP
+                # iteration (bench_periodic.py:115-133).
+                from ..la.gmg import _prolong1, _restrict1
+
+                r_idx, r_w, p_lo, p_hi, p_wlo, p_whi = gmg_tabs
+                nc0 = nx_ // 2 + 1
+                cmask0 = (cgmg.free_masks[0]
+                          if cgmg.free_masks is not None else None)
+
+                def smooth(x0, r0, n_sweeps):
+                    def body(_, xi):
+                        return xi + gmg_omega * inv * (r0 - matvec(xi))
+
+                    return jax.lax.fori_loop(0, n_sweeps, body, x0)
+
+                def M(r):
+                    x0 = smooth(jnp.zeros_like(r), r, gmg_pre)
+                    res = (r - matvec(x0)) * free_sh.astype(r.dtype)
+                    # y,z full weighting locally (R = P^T: 2x per axis) ...
+                    g = 2.0 * _restrict1(res, 1)
+                    g = 2.0 * _restrict1(g, 2)
+                    # ... then x full weighting with one halo plane per side
+                    from_left = jax.lax.ppermute(g[nxc - 1], AXIS, fwd)
+                    from_right = jax.lax.ppermute(g[1], AXIS, bwd)
+                    me = jax.lax.axis_index(AXIS)
+                    wl = jnp.where(me > 0, 1.0, 0.0).astype(g.dtype)
+                    wr = jnp.where(me < me_last, 1.0, 0.0).astype(g.dtype)
+                    gext = jnp.concatenate(
+                        [(wl * from_left)[None], g, (wr * from_right)[None]], 0)
+                    gx = 2.0 * (0.5 * gext[1:-1] + 0.25 * (gext[:-2] + gext[2:]))
+                    rc = jnp.zeros((nc0,) + gx.shape[1:], r.dtype)
+                    rc = rc.at[r_idx].add(
+                        r_w[:, None, None, None].astype(r.dtype) * gx)
+                    rc = jax.lax.psum(rc, AXIS)  # replicated coarse residual
+                    rcf = rc.reshape(-1)
+                    if cmask0 is not None:
+                        rcf = rcf * cmask0.astype(rcf.dtype)
+                    ec = cgmg(rcf)
+                    if cmask0 is not None:
+                        ec = ec * cmask0.astype(ec.dtype)
+                    ecg = ec.reshape(rc.shape)
+                    # x prolongation: per-plane gather from the replicated
+                    # coarse grid (even plane: copy; odd: neighbour mean)
+                    ef = (p_wlo[:, None, None, None].astype(r.dtype) * ecg[p_lo]
+                          + p_whi[:, None, None, None].astype(r.dtype) * ecg[p_hi])
+                    ef = _prolong1(ef, 1)
+                    ef = _prolong1(ef, 2)
+                    x1 = x0 + ef * free_sh.astype(r.dtype)
+                    return smooth(x1, r, gmg_post)
             else:
                 M = lambda r: inv * r
 
@@ -520,7 +642,9 @@ class ShardedLatticeProblem:
         smapped = jax.shard_map(
             device_step,
             mesh=self.device_mesh,
-            in_specs=(dev,) * 17 + (dev,),  # last spec broadcasts over the wl pytree
+            # specs broadcast over pytree args (wl_sh, gmg_tabs, cgmg);
+            # the coarse GMG hierarchy is REPLICATED on every device
+            in_specs=(dev,) * 17 + (dev, dev, dev, rep),
             out_specs=(dev, rep, rep),
             check_vma=False,
         )
@@ -528,12 +652,15 @@ class ShardedLatticeProblem:
 
     # ------------------------------------------------------------------
     def solve(self):
+        cgmg = self.coarse_gmg
+        if cgmg is None:
+            cgmg = jnp.zeros(())  # placeholder pytree for the rep spec
         xs, k, rnorm = self._step(
             self._coords_sh, self._w_cell, self._keep_sh, self._diag_sh, self._b_sh,
             self._Tr_sh, self._sc_pos, self._sc_valid, self._slot_sh,
             self._need_idx, self._need_w, self._side_sel, self._side_lrow,
             self._side_colp, self._side_vw, self._wpl, self._side_diag_w,
-            self._wl_sh,
+            self._wl_sh, self._free_sh, self._gmg_tabs, cgmg,
         )
         # stitch slabs: device d owns planes [d*nxc, d*nxc + nxc) plus the
         # global last plane from the last device

@@ -117,3 +117,69 @@ def test_sharded_million_dofs():
     u, its, rn = prob.solve()
     assert np.isfinite(np.asarray(u)).all() and its > 0
     assert np.abs(np.asarray(u) - np.asarray(ref.x.array)).max() < 1e-7
+
+
+def test_sharded_gmg_two_level():
+    """Sharded two-level GMG (slab-smoothed fine level + psum-replicated
+    coarse LatticeGMG hierarchy): same solution as plain sharded Jacobi-CG,
+    iteration count cut well below Chebyshev's (the BoomerAMG-parity story
+    for the distributed path — reference bench_periodic.py:115-133 applies
+    AMG rank-parallel inside every KSP iteration)."""
+    import jax.numpy as jnp
+
+    from dolfinx_mpc_tpu.la.gmg import LatticeGMG, build_gmg_hierarchy
+    from dolfinx_mpc_tpu.ops.lattice import assemble_matrix_lattice
+
+    n = 32
+    V, a, L, mpc, bc = _problem_3d(n)
+
+    def make_level(m):
+        Vl, al, Ll, mpcl, bcl = _problem_3d(m)
+        return assemble_matrix_lattice(al, mpcl, bcs=[bcl], side_format="fold")
+
+    ops, masks = build_gmg_hierarchy(make_level, n // 2, 3, min_n=4)
+    cgmg = LatticeGMG(ops, free_masks=masks)
+
+    mesh8 = make_device_mesh(8)
+    pj = ShardedLatticeProblem(a, L, mpc, [bc], device_mesh=mesh8, rtol=1e-10)
+    uj, itj, _ = pj.solve()
+    pg = ShardedLatticeProblem(
+        a, L, mpc, [bc], device_mesh=mesh8, rtol=1e-10,
+        pc_type="gmg", coarse_gmg=cgmg,
+    )
+    ug, itg, rng_ = pg.solve()
+    ref = dmt.LinearProblem(a, L, mpc, bcs=[bc],
+                            petsc_options={"ksp_rtol": 1e-12}).solve()
+    assert np.abs(np.asarray(ug) - np.asarray(ref.x.array)).max() < 1e-8, (
+        itg, rng_)
+    # measured: GMG 14 its vs Jacobi 23 at n=32 (this RHS is easy for plain
+    # Jacobi; the GMG count is the FLAT one as n grows — the single-chip
+    # ladder holds ~16 its from 275k to 10.2M dofs)
+    assert itg <= 16, f"two-level GMG should be ~flat: its={itg}"
+    assert itg < itj, (itg, itj)
+
+
+def test_sharded_gmg_matches_single_device():
+    """Sharded GMG on 1 and 4 devices == single-device LinearProblem."""
+    from dolfinx_mpc_tpu.la.gmg import LatticeGMG, build_gmg_hierarchy
+    from dolfinx_mpc_tpu.ops.lattice import assemble_matrix_lattice
+
+    n = 8
+    V, a, L, mpc, bc = _problem_3d(n)
+    ref = dmt.LinearProblem(a, L, mpc, bcs=[bc],
+                            petsc_options={"ksp_rtol": 1e-12}).solve()
+
+    def make_level(m):
+        Vl, al, Ll, mpcl, bcl = _problem_3d(m)
+        return assemble_matrix_lattice(al, mpcl, bcs=[bcl], side_format="fold")
+
+    ops, masks = build_gmg_hierarchy(make_level, n // 2, 2, min_n=4)
+    cgmg = LatticeGMG(ops, free_masks=masks)
+    for n_dev in (1, 4):
+        pg = ShardedLatticeProblem(
+            a, L, mpc, [bc], device_mesh=make_device_mesh(n_dev), rtol=1e-12,
+            pc_type="gmg", coarse_gmg=cgmg,
+        )
+        u, its, rn = pg.solve()
+        err = np.abs(u - np.asarray(ref.x.array)).max()
+        assert err < 1e-9, f"n_dev={n_dev}: err={err} its={its}"
