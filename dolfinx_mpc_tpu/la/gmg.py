@@ -48,6 +48,20 @@ def _prolong1(c, axis):
     return out
 
 
+def _abs_rowsum(dia):
+    """|A| . 1 per row (the Gershgorin numerator), computed by running the
+    operator's own matvec on all-ones with |data| — works for both DIAMatrix
+    and the parity-blocked BlockDIAMatrix without duplicating placement
+    logic."""
+    ones = jnp.ones((dia.shape[0],), jnp.real(dia.data).dtype)
+    if hasattr(dia, "trips"):
+        absd = type(dia)(jnp.abs(dia.data), dia.trips, dia.vshape, dia.r3,
+                         dia.bs)
+    else:
+        absd = type(dia)(jnp.abs(dia.data), dia.offsets, dia.vshape, dia.bs)
+    return absd.matvec(ones)
+
+
 @jax.tree_util.register_pytree_node_class
 class LatticeGMG:
     """Symmetric V-cycle over a list of LatticeOperators (fine -> coarse).
@@ -57,10 +71,10 @@ class LatticeGMG:
     constants (the remote-compile tunnel rejects such payloads at 10M-dof
     scale with HTTP 413)."""
 
-    def __init__(self, ops, n_pre=2, n_post=2, omega=0.8, coarse_iters=30, free_masks=None):
+    def __init__(self, ops, n_pre=2, n_post=2, omega="auto", coarse_iters=30,
+                 free_masks=None):
         self.ops = ops
         self.n_pre, self.n_post = n_pre, n_post
-        self.omega = omega
         self.coarse_iters = coarse_iters
         # free_masks[l]: 1.0 on unconstrained dofs, 0.0 on bc/slave rows —
         # residuals/corrections are projected onto the free subspace around
@@ -70,6 +84,21 @@ class LatticeGMG:
         for A in ops:
             d = A.diagonal()
             self._inv_diag.append(jnp.where(d != 0, 1.0 / d, 0.0))
+        # omega="auto": weighted-Jacobi damping from the per-level Gershgorin
+        # bound lmax(D^-1 A) <= max_i sum_j |a_ij| / d_i.  omega must keep
+        # omega*lmax < 2 or the smoother DIVERGES and the V-cycle stops
+        # being an SPD preconditioner (CG stalls): Poisson has lmax = 2
+        # (-> the classic 0.8), but P1 elasticity measures lmax = 3.71 and
+        # a fixed 0.8 broke the bs=3 bench solve (3000 its, rnorm 1e-1).
+        if omega == "auto":
+            oms = []
+            for A, inv in zip(ops, self._inv_diag):
+                rs = _abs_rowsum(A.dia)
+                lmax = float(jnp.max(jnp.abs(rs * inv)))
+                oms.append(1.6 / max(lmax, 2.0))
+            self.omegas = tuple(oms)
+        else:
+            self.omegas = (float(omega),) * len(ops)
         # transfer shapes: grid dims between levels must satisfy n_f = 2*n_c
         for Af, Ac in zip(ops[:-1], ops[1:]):
             for nf, nc in zip(Af.dia.vshape, Ac.dia.vshape):
@@ -86,9 +115,10 @@ class LatticeGMG:
         # item); the rolled loop compiles ONE SpMV instance per level
         A = self.ops[lvl]
         inv = self._inv_diag[lvl]
+        om = self.omegas[lvl]
 
         def body(_, xi):
-            return xi + self.omega * inv * (b - A.matvec(xi))
+            return xi + om * inv * (b - A.matvec(xi))
 
         return jax.lax.fori_loop(0, n_sweeps, body, x)
 
@@ -156,14 +186,14 @@ class LatticeGMG:
 
     def tree_flatten(self):
         ch = (self.ops, self.free_masks, self._inv_diag)
-        aux = (self.n_pre, self.n_post, self.omega, self.coarse_iters)
+        aux = (self.n_pre, self.n_post, self.omegas, self.coarse_iters)
         return ch, aux
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
         obj = cls.__new__(cls)
         obj.ops, obj.free_masks, obj._inv_diag = ch
-        obj.n_pre, obj.n_post, obj.omega, obj.coarse_iters = aux
+        obj.n_pre, obj.n_post, obj.omegas, obj.coarse_iters = aux
         return obj
 
 
