@@ -473,16 +473,22 @@ def make_dia_matvec_bs_pallas(offsets, vshape, bs, interpret=False, max_rows=Non
             d_ref, y_ref = refs[2 * W + 1], refs[2 * W + 2]
             jj = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
             kk = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
+            # the rolled+masked source plane depends only on (cj, offset) —
+            # shared across the bs test components (3x fewer rolls at bs=3)
+            srcs = {}
             acc = [None] * bs
             for ri, (d, (di, dj, dk), ci, cj) in enumerate(sub):
-                sh = x_refs[di + W][cj, 0]
-                if dj:
-                    sh = pltpu.roll(sh, -dj % n1, 0)
-                if dk:
-                    sh = pltpu.roll(sh, -dk % n2, 1)
-                valid = ((jj + dj >= 0) & (jj + dj < n1)
-                         & (kk + dk >= 0) & (kk + dk < n2))
-                term = d_ref[ri, 0] * jnp.where(valid, sh, 0.0)
+                skey = (cj, di, dj, dk)
+                if skey not in srcs:
+                    sh = x_refs[di + W][cj, 0]
+                    if dj:
+                        sh = pltpu.roll(sh, -dj % n1, 0)
+                    if dk:
+                        sh = pltpu.roll(sh, -dk % n2, 1)
+                    valid = ((jj + dj >= 0) & (jj + dj < n1)
+                             & (kk + dk >= 0) & (kk + dk < n2))
+                    srcs[skey] = jnp.where(valid, sh, 0.0)
+                term = d_ref[ri, 0] * srcs[skey]
                 acc[ci] = term if acc[ci] is None else acc[ci] + term
             zero = jnp.zeros((n1, n2), jnp.float32)
             y_ref[:, 0] = jnp.stack([a if a is not None else zero for a in acc])
@@ -572,17 +578,25 @@ def make_blocked_matvec_pallas(trips, vshape, r3, interpret=False, max_m=None):
             d_ref, y_ref = refs[2 * W + 1], refs[2 * W + 2]
             jj = jax.lax.broadcasted_iota(jnp.int32, (s1, s2), 0)
             kk = jax.lax.broadcasted_iota(jnp.int32, (s1, s2), 1)
+            # rolled+masked source planes depend only on (src class, offset)
+            # and are SHARED across triples (230 triples -> ~70 unique
+            # sources): hoisting the rolls/masks cuts the per-step op count
+            # ~3x — the kernel is roll/permute-bound, not FMA-bound
+            srcs = {}
             acc = [None] * n_cls
             for mi, (gm, (cr, cc, off)) in enumerate(sub):
                 ci, cj = cls_id[cr], cls_id[cc]
-                sh = x_refs[off[0] + W][cj, 0]
-                if off[1]:
-                    sh = pltpu.roll(sh, -off[1] % s1, 0)
-                if off[2]:
-                    sh = pltpu.roll(sh, -off[2] % s2, 1)
-                valid = ((jj + off[1] >= 0) & (jj + off[1] < s1)
-                         & (kk + off[2] >= 0) & (kk + off[2] < s2))
-                term = d_ref[mi, 0] * jnp.where(valid, sh, 0.0)
+                skey = (cj, off)
+                if skey not in srcs:
+                    sh = x_refs[off[0] + W][cj, 0]
+                    if off[1]:
+                        sh = pltpu.roll(sh, -off[1] % s1, 0)
+                    if off[2]:
+                        sh = pltpu.roll(sh, -off[2] % s2, 1)
+                    valid = ((jj + off[1] >= 0) & (jj + off[1] < s1)
+                             & (kk + off[2] >= 0) & (kk + off[2] < s2))
+                    srcs[skey] = jnp.where(valid, sh, 0.0)
+                term = d_ref[mi, 0] * srcs[skey]
                 acc[ci] = term if acc[ci] is None else acc[ci] + term
             zero = jnp.zeros((s1, s2), jnp.float32)
             y_ref[:, 0] = jnp.stack([a if a is not None else zero for a in acc])
