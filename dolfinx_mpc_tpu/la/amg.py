@@ -242,8 +242,22 @@ def smoothed_aggregation_amg(
     dev_R = [_to_device_op(r, dtype) for r in Rs]
     inv_diag = [jnp.asarray(np.where(a.diagonal() != 0, 1.0 / a.diagonal(), 0.0)
                             .astype(dtype)) for a in ops[:-1]]
-    coarse_inv = jnp.asarray(
-        np.linalg.pinv(ops[-1].todense()).astype(dtype))
+    # explicit dense inverse of the coarsest level (applied as one device
+    # matmul in the V-cycle).  Cholesky-solve against I is ~50x cheaper than
+    # the SVD behind pinv (measured 16.8 s -> ~0.4 s at ~5k coarse rows when
+    # aggregation stalls early); tiny diagonal shift keeps it factorizable,
+    # pinv stays as the fallback for genuinely singular coarse operators.
+    Ad = np.asarray(ops[-1].todense(), dtype=np.float64)
+    nC = Ad.shape[0]
+    try:
+        import scipy.linalg as sla
+
+        shift = 1e-10 * (np.trace(Ad) / max(nC, 1))
+        c_lo = sla.cho_factor(Ad + shift * np.eye(nC), lower=True)
+        coarse_dense = sla.cho_solve(c_lo, np.eye(nC))
+    except Exception:
+        coarse_dense = np.linalg.pinv(Ad)
+    coarse_inv = jnp.asarray(coarse_dense.astype(dtype))
     cheb = [(rho / 20.0, 1.1 * rho) for rho in chebs]
     return AMG(dev_ops, dev_P, dev_R, inv_diag, coarse_inv, cheb,
                degree=n_smooth)
