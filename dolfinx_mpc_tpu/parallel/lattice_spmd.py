@@ -1,31 +1,34 @@
-"""Sharded lattice solve: x-slab domain decomposition with ppermute halos.
+"""Sharded lattice solve: 2-D (x,y)-slab domain decomposition with ppermute
+halos (1-D x-slabs are the Dy=1 special case of the same program).
 
 This is the TPU-native rendition of the reference's entire distributed story
 (SURVEY.md §2.3): DOLFINx partitions the mesh over MPI ranks with owner/ghost
 IndexMaps and PETSc exchanges ghost values during MatAssembly and each SpMV
 (/root/reference/cpp/mpc_helpers.h:139-235, README.md:33).  Here the vertex
-lattice is cut into x-slabs, one per device, with the shared vertex plane
-DUPLICATED on both neighbours:
+lattice is cut into (x,y) boxes over a 2-D device mesh, with shared vertex
+planes DUPLICATED on all owners:
 
 - assembly: every device runs the SoA element kernel + stencil accumulation
-  on its cell slab; the two partial boundary planes are summed with a single
-  bidirectional `ppermute` (replacing MPI ghost scatter-reverse).
-- SpMV: local stencil matvec on the (nxc+1)-plane slab, then the same
-  bidirectional plane exchange completes boundary rows (replacing the PETSc
-  halo exchange in every KSP iteration, reference problem.py:585).
+  on its cell box; duplicated-plane partials are summed dimension-by-
+  dimension — one bidirectional `ppermute` in x, then one in y over the
+  x-completed planes, so edge/corner vertices (owned by up to 4 devices)
+  complete with no extra messages (replacing MPI ghost scatter-reverse).
+- SpMV: local stencil matvec on the (nxc+1, nyc+1)-plane box; the halo is
+  gathered dimension-ordered too (x planes first, then y rows of the
+  x-EXTENDED array, which carries the diagonal-neighbour corner values).
 - MPC side matrix (slave-cell K^H A_e K couplings, reaching arbitrarily far
   across the domain — e.g. periodic partners): assembled into a REPLICATED
-  O(surface)-sized vector with one psum; the needed x-values are likewise
-  gathered by one psum of an O(surface) packed vector per iteration.
-- dot products: plane-weighted local partials + psum (duplicated planes are
-  weighted on one side only).
+  O(surface)-sized vector with one psum over both mesh axes; the needed
+  x-values are likewise gathered by one psum of an O(surface) packed vector
+  per iteration.
+- dot products: plane-weighted local partials + psum — duplicated planes are
+  counted by the LEFT owner in each axis (the weight is the outer product of
+  the per-axis ownership weights, so corners count exactly once).
 
 Everything — assembly, CG, backsubstitution — is ONE jitted shard_map program.
 """
 
 from __future__ import annotations
-
-from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -34,25 +37,34 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..fem.forms import Form
 from ..la.sparse import build_slot_pattern
-from ..multipointconstraint import MultiPointConstraint
-from ..ops.assemble import _bc_masks, _bc_values, _build_cell_transforms, _mpc_pair, _real_dtype
+from ..ops.assemble import _bc_masks, _build_cell_transforms, _mpc_pair, _real_dtype
 from ..ops.lattice import get_lattice_info
 from ..ops.soa_kernels import compile_cell_kernel_soa
-from .spmd import AXIS, make_device_mesh
+from .spmd import make_device_mesh
 
 __all__ = ["ShardedLatticeProblem"]
 
 
 class ShardedLatticeProblem:
-    """Distributed lattice Poisson-type solve over a 1D device mesh."""
+    """Distributed lattice Poisson-type solve over a 1-D or 2-D device mesh.
+
+    device_mesh: a 1-D `jax.sharding.Mesh` (x-slabs) or a 2-D mesh of shape
+    (Dx, Dy) for (x,y)-box decomposition (e.g. ``Mesh(devs.reshape(4, 2),
+    ("sx", "sy"))``).  pc_type="gmg" currently requires Dy == 1.
+    """
 
     def __init__(self, a: Form, L: Form, mpc, bcs=None, device_mesh: Mesh = None,
                  dtype=np.float64, rtol=1e-8, max_it=3000, diagval=1.0,
                  pc_type="jacobi", cheb_degree=3, cheb_power_iters=20,
                  coarse_gmg=None, gmg_pre=2, gmg_post=2, gmg_omega=0.8):
-        self.device_mesh = device_mesh if device_mesh is not None else make_device_mesh()
-        D = int(self.device_mesh.devices.size)
-        self.D = D
+        dm = device_mesh if device_mesh is not None else make_device_mesh()
+        if dm.devices.ndim == 1:
+            dm = Mesh(dm.devices.reshape(-1, 1), ("sx", "sy"))
+        assert dm.devices.ndim == 2, "device_mesh must be 1-D or 2-D"
+        self.device_mesh = dm
+        self._axx, self._axy = dm.axis_names
+        Dx, Dy = (int(s) for s in dm.devices.shape)
+        self.Dx, self.Dy = Dx, Dy
         bcs = bcs or []
         mpc_r, _ = _mpc_pair(mpc)
         V = a.test_space
@@ -84,6 +96,7 @@ class ShardedLatticeProblem:
             # every device (1/8 of fine memory) — the reference's AMG-on-
             # every-rank analogue without cross-device transfer operators
             assert coarse_gmg is not None, "pc_type='gmg' needs coarse_gmg"
+            assert Dy == 1, "sharded gmg: 1-D x-slab meshes only (so far)"
             assert nx % 2 == 0 and ny % 2 == 0 and (is2d or nz_ % 2 == 0), (
                 "gmg two-level needs even lattice dims")
             assert not is2d, "sharded gmg: 3D lattices only"
@@ -111,50 +124,62 @@ class ShardedLatticeProblem:
             self._coeff_meta.append(metas)
         self.kernel = self.kernels[0]
 
-        # ---- slab partition --------------------------------------------
-        nxc = -(-nx // D)  # cells per device (last padded)
-        self.nxc = nxc
+        # ---- box partition ----------------------------------------------
+        nxc = -(-nx // Dx)  # x cells per device (last padded)
+        nyc = -(-ny // Dy)  # y cells per device (last padded)
+        self.nxc, self.nyc = nxc, nyc
         nd = V.ndofs_cell
         nv = mesh.cells.shape[1]
         g = mesh.gdim
-        c_loc = nxc * ny * nzc * T
+        c_loc = nxc * nyc * nzc * T
 
         tr = _build_cell_transforms(V, mpc_r, dtype)
         bc_mask = _bc_masks(V, bcs, dtype)
         pts = mesh.points[mesh.cells].astype(_real_dtype(dtype))  # (c, nv, g)
-        dm = V.dofmap  # (c, nd)
-        keep_cell = (1.0 - bc_mask[dm]).astype(_real_dtype(dtype))  # (c, nd)
+        dm_ = V.dofmap  # (c, nd)
+        keep_cell = (1.0 - bc_mask[dm_]).astype(_real_dtype(dtype))  # (c, nd)
 
-        coords_sh = np.zeros((D, nv, g, c_loc), _real_dtype(dtype))
-        w_cell = np.zeros((D, c_loc), _real_dtype(dtype))
-        keep_sh = np.ones((D, nd, c_loc), _real_dtype(dtype))
+        coords_sh = np.zeros((Dx, Dy, nv, g, c_loc), _real_dtype(dtype))
+        w_cell = np.zeros((Dx, Dy, c_loc), _real_dtype(dtype))
+        keep_sh = np.ones((Dx, Dy, nd, c_loc), _real_dtype(dtype))
         cells_grid = np.arange(mesh.num_cells).reshape(nx, ny, nzc, T)
         valid_mask_full = (1.0 - tr.slave_cell_mask.astype(_real_dtype(dtype)))
-        for d in range(D):
-            i0, i1 = d * nxc, min((d + 1) * nxc, nx)
-            ids = cells_grid[i0:i1].reshape(-1)
-            k = len(ids)
-            coords_sh[d, :, :, :k] = pts[ids].transpose(1, 2, 0)
-            coords_sh[d, :, :, k:] = pts[0][:, :, None]
-            w_cell[d, :k] = valid_mask_full[ids]
-            keep_sh[d, :, :k] = keep_cell[ids].T
+
+        def box_ids(dx, dy):
+            """Cell ids of box (dx,dy) padded to the full (nxc,nyc,nzc,T)
+            local grid, plus the validity mask of the padding."""
+            i0, i1 = dx * nxc, min((dx + 1) * nxc, nx)
+            j0, j1 = dy * nyc, min((dy + 1) * nyc, ny)
+            ci, cj = max(i1 - i0, 0), max(j1 - j0, 0)  # box may be fully padding
+            ids = np.zeros((nxc, nyc, nzc, T), np.int64)
+            vm = np.zeros((nxc, nyc, nzc, T), _real_dtype(dtype))
+            if ci and cj:
+                ids[:ci, :cj] = cells_grid[i0:i1, j0:j1]
+                vm[:ci, :cj] = 1.0
+            return ids.reshape(-1), vm.reshape(-1)
+
+        for dx in range(Dx):
+            for dy in range(Dy):
+                ids, vm = box_ids(dx, dy)
+                coords_sh[dx, dy] = pts[ids].transpose(1, 2, 0)
+                w_cell[dx, dy] = valid_mask_full[ids] * vm
+                keep_sh[dx, dy] = keep_cell[ids].T
         self._coords_sh = jnp.asarray(coords_sh)
         self._w_cell = jnp.asarray(w_cell)
         self._keep_sh = jnp.asarray(keep_sh)
 
-        # per-term, per-slab coefficient locals: (D, nd_w, bs_w, c_loc)
+        # per-term, per-box coefficient locals: (Dx, Dy, nd_w, bs_w, c_loc)
         wl_sh = []
         for metas in self._coeff_meta:
             term_wl = {}
             for nme, nd_w, bs_w, W, fn in metas:
                 warr = np.asarray(fn.x.array, dtype=dtype)
                 wcell = warr[W.dofmap]  # (c, nd_w*bs_w)
-                buf = np.zeros((D, nd_w, bs_w, c_loc), dtype)
-                for d in range(D):
-                    i0, i1 = d * nxc, min((d + 1) * nxc, nx)
-                    ids = cells_grid[i0:i1].reshape(-1)
-                    k = len(ids)
-                    buf[d, :, :, :k] = wcell[ids].reshape(k, nd_w, bs_w).transpose(1, 2, 0)
+                buf = np.zeros((Dx, Dy, nd_w, bs_w, c_loc), dtype)
+                for dx in range(Dx):
+                    for dy in range(Dy):
+                        ids, _ = box_ids(dx, dy)
+                        buf[dx, dy] = wcell[ids].reshape(-1, nd_w, bs_w).transpose(1, 2, 0)
                 term_wl[nme] = jnp.asarray(buf)
             wl_sh.append(term_wl)
         self._wl_sh = wl_sh
@@ -174,24 +199,22 @@ class ShardedLatticeProblem:
         self.offsets = tuple(offs.keys())
         self.moves = moves
 
-        # per-device diag additions (bc diagval), shared planes on both owners
+        # per-device diag additions (bc diagval), shared planes on all owners
         bc_dofs = np.unique(np.concatenate([bc.dofs for bc in bcs])) if bcs else np.zeros(0, np.int64)
         diag_grid = np.zeros((nx + 1, n1, n2, bs), dtype)
         dg = np.zeros(V.num_dofs, dtype)
         dg[bc_dofs] = diagval
         diag_grid[:] = dg.reshape(nx + 1, n1, n2, bs)
-        self._diag_sh = jnp.asarray(self._to_slabs(diag_grid, D, nxc))
+        self._diag_sh = jnp.asarray(self._to_boxes(diag_grid, Dx, Dy, nxc, nyc))
 
         # rhs (assembled on host once: L is cheap and static) + set_bc values
-        import jax as _jax
-
         from ..ops.assemble import apply_lifting, assemble_vector, set_bc
 
         b = assemble_vector(L, mpc, dtype=dtype)
         b = apply_lifting(b, [a], [bcs], mpc, dtype=dtype)
         b = set_bc(b, bcs)
         b_grid = np.asarray(b).reshape(nx + 1, n1, n2, bs)
-        self._b_sh = jnp.asarray(self._to_slabs(b_grid, D, nxc))
+        self._b_sh = jnp.asarray(self._to_boxes(b_grid, Dx, Dy, nxc, nyc))
 
         # ---- side matrix (slave cells + slave diagonal) ------------------
         sc = np.flatnonzero(tr.slave_cell_mask)
@@ -214,106 +237,139 @@ class ShardedLatticeProblem:
         nnz_side = pattern.nnz
         self.nnz_side = nnz_side
 
-        # per-device slave-cell tables (cells assigned to their slab owner)
-        sc_dev = [[] for _ in range(D)]
-        cell_x = (sc // (ny * nzc * T)) if len(sc) else np.zeros(0, np.int64)
+        # per-device slave-cell tables (cells assigned to their box owner)
+        sc_dev = [[[] for _ in range(Dy)] for _ in range(Dx)]
+        if len(sc):
+            cell_x = sc // (ny * nzc * T)
+            cell_y = (sc // (nzc * T)) % ny
+        else:
+            cell_x = cell_y = np.zeros(0, np.int64)
         for idx, c in enumerate(sc):
-            d = min(int(cell_x[idx]) // nxc, D - 1)
-            sc_dev[d].append(idx)
-        max_sc = max((len(s) for s in sc_dev), default=1) or 1
+            dx = min(int(cell_x[idx]) // nxc, Dx - 1)
+            dy = min(int(cell_y[idx]) // nyc, Dy - 1)
+            sc_dev[dx][dy].append(idx)
+        max_sc = max((len(s) for row in sc_dev for s in row), default=1) or 1
         Wd = tr.T.shape[2] if tr.T.size else 1
-        Tr_sh = np.zeros((D, max_sc, nd, Wd), dtype)
-        sc_pos = np.zeros((D, max_sc), np.int32)  # position of cell in device slab
-        sc_valid = np.zeros((D, max_sc), _real_dtype(dtype))
-        slot_sh = np.full((D, max_sc * Wd * Wd), nnz_side, np.int32)
+        Tr_sh = np.zeros((Dx, Dy, max_sc, nd, Wd), dtype)
+        sc_pos = np.zeros((Dx, Dy, max_sc), np.int32)  # cell position in local box
+        sc_valid = np.zeros((Dx, Dy, max_sc), _real_dtype(dtype))
+        slot_sh = np.full((Dx, Dy, max_sc * Wd * Wd), nnz_side, np.int32)
         slots0 = pattern.slots[0].reshape(len(sc), Wd, Wd) if len(sc) else np.zeros((0, 1, 1), np.int64)
-        for d in range(D):
-            i0 = d * nxc
-            for m, idx in enumerate(sc_dev[d]):
-                c = sc[idx]
-                ci = int(cell_x[idx])
-                local = ((ci - i0) * ny * nzc * T) + int(c % (ny * nzc * T))
-                sc_pos[d, m] = local
-                sc_valid[d, m] = 1.0
-                Tr_sh[d, m] = tr.T[idx]
-                slot_sh[d, m * Wd * Wd : (m + 1) * Wd * Wd] = slots0[idx].reshape(-1)
+        for dx in range(Dx):
+            for dy in range(Dy):
+                i0, j0 = dx * nxc, dy * nyc
+                for m, idx in enumerate(sc_dev[dx][dy]):
+                    c = sc[idx]
+                    ci, cj = int(cell_x[idx]), int(cell_y[idx])
+                    local = (((ci - i0) * nyc + (cj - j0)) * nzc * T) + int(c % (nzc * T))
+                    sc_pos[dx, dy, m] = local
+                    sc_valid[dx, dy, m] = 1.0
+                    Tr_sh[dx, dy, m] = tr.T[idx]
+                    slot_sh[dx, dy, m * Wd * Wd : (m + 1) * Wd * Wd] = slots0[idx].reshape(-1)
         self._Tr_sh = jnp.asarray(Tr_sh)
         self._sc_pos = jnp.asarray(sc_pos)
         self._sc_valid = jnp.asarray(sc_valid)
         self._slot_sh = jnp.asarray(slot_sh)
-        # slave diagonal slots contributed once (device 0)
+        # slave diagonal slots contributed once (device (0,0))
         self._slave_diag_slots = jnp.asarray(pattern.slots[1].astype(np.int32))
 
         # needed columns for the side matvec + row routing
         need_cols = np.unique(pattern.indices)
         colpos = np.searchsorted(need_cols, pattern.indices)
         self.n_need = len(need_cols)
-        # map each needed global col -> (device, local flat index) for every
-        # device whose slab contains it (weighted to count once)
-        loc_sz = (nxc + 1) * n1 * n2 * bs
-        need_idx = np.zeros((D, self.n_need), np.int32)
-        need_w = np.zeros((D, self.n_need), _real_dtype(dtype))
+        # map each needed global col -> local flat index on every device whose
+        # box contains it; weight 1 only on the unique (left-in-both-axes)
+        # owner so the psum counts each value once
+        loc_sz = (nxc + 1) * (nyc + 1) * n2 * bs
+        need_idx = np.zeros((Dx, Dy, self.n_need), np.int32)
+        need_w = np.zeros((Dx, Dy, self.n_need), _real_dtype(dtype))
         gx = need_cols // (n1 * n2 * bs)
-        rem = need_cols % (n1 * n2 * bs)
-        for d in range(D):
-            x0 = d * nxc
-            own_lo = x0 if d == 0 else x0 + 1  # plane x0 counted by left owner
-            sel = (gx >= own_lo) & (gx <= min((d + 1) * nxc, nx))
-            need_idx[d, sel] = ((gx[sel] - x0) * n1 * n2 * bs + rem[sel]).astype(np.int32)
-            need_w[d, sel] = 1.0
+        gy = (need_cols // (n2 * bs)) % n1
+        rem = need_cols % (n2 * bs)
+        for dx in range(Dx):
+            x0 = dx * nxc
+            ox_lo = x0 if dx == 0 else x0 + 1  # plane x0 counted by left owner
+            selx = (gx >= ox_lo) & (gx <= min((dx + 1) * nxc, nx))
+            inx = (gx >= x0) & (gx <= min((dx + 1) * nxc, nx))
+            for dy in range(Dy):
+                y0 = dy * nyc
+                oy_lo = y0 if dy == 0 else y0 + 1
+                sely = (gy >= oy_lo) & (gy <= min((dy + 1) * nyc, ny))
+                iny = (gy >= y0) & (gy <= min((dy + 1) * nyc, ny))
+                have = inx & iny
+                need_idx[dx, dy, have] = (
+                    (gx[have] - x0) * (nyc + 1) * n2 * bs
+                    + (gy[have] - y0) * n2 * bs + rem[have]
+                ).astype(np.int32)
+                need_w[dx, dy, selx & sely] = 1.0
         self._need_idx = jnp.asarray(need_idx)
         self._need_w = jnp.asarray(need_w)
 
-        # side rows per device (duplicated-plane rows on both owners)
+        # side rows per device (duplicated-plane rows on ALL owners)
         srows = pattern.row_ids.astype(np.int64)
         sx = srows // (n1 * n2 * bs)
-        srem = srows % (n1 * n2 * bs)
-        per_dev = []
-        for d in range(D):
-            x0, x1 = d * nxc, min((d + 1) * nxc, nx)
-            sel = np.flatnonzero((sx >= x0) & (sx <= x1))
-            per_dev.append(sel)
-        max_rows = max((len(s) for s in per_dev), default=1) or 1
-        side_sel = np.zeros((D, max_rows), np.int32)
-        side_lrow = np.zeros((D, max_rows), np.int32)
-        side_colp = np.zeros((D, max_rows), np.int32)
-        side_vw = np.zeros((D, max_rows), _real_dtype(dtype))
-        for d in range(D):
-            sel = per_dev[d]
+        sy = (srows // (n2 * bs)) % n1
+        srem = srows % (n2 * bs)
+        per_dev = {}
+        for dx in range(Dx):
+            x0, x1 = dx * nxc, min((dx + 1) * nxc, nx)
+            for dy in range(Dy):
+                y0, y1 = dy * nyc, min((dy + 1) * nyc, ny)
+                per_dev[dx, dy] = np.flatnonzero(
+                    (sx >= x0) & (sx <= x1) & (sy >= y0) & (sy <= y1))
+        max_rows = max((len(s) for s in per_dev.values()), default=1) or 1
+        side_sel = np.zeros((Dx, Dy, max_rows), np.int32)
+        side_lrow = np.zeros((Dx, Dy, max_rows), np.int32)
+        side_colp = np.zeros((Dx, Dy, max_rows), np.int32)
+        side_vw = np.zeros((Dx, Dy, max_rows), _real_dtype(dtype))
+        is_diag = (pattern.row_ids == pattern.indices)
+        side_diag_w = np.zeros((Dx, Dy, max_rows), _real_dtype(dtype))
+        for (dx, dy), sel in per_dev.items():
             k = len(sel)
-            side_sel[d, :k] = sel
-            side_lrow[d, :k] = ((sx[sel] - d * nxc) * n1 * n2 * bs + srem[sel]).astype(np.int32)
-            side_colp[d, :k] = colpos[sel]
-            side_vw[d, :k] = 1.0
+            side_sel[dx, dy, :k] = sel
+            side_lrow[dx, dy, :k] = (
+                (sx[sel] - dx * nxc) * (nyc + 1) * n2 * bs
+                + (sy[sel] - dy * nyc) * n2 * bs + srem[sel]
+            ).astype(np.int32)
+            side_colp[dx, dy, :k] = colpos[sel]
+            side_vw[dx, dy, :k] = 1.0
+            # diagonal side entries (row == col): their values must join the
+            # Jacobi/Chebyshev diagonal — the MPC folds master-master
+            # stiffness into the side matrix, and ignoring it under-scales
+            # every row on the periodic plane (measured 242 vs 37 CG its at
+            # n=48)
+            side_diag_w[dx, dy, :k] = is_diag[sel].astype(_real_dtype(dtype))
         self._side_sel = jnp.asarray(side_sel)
         self._side_lrow = jnp.asarray(side_lrow)
         self._side_colp = jnp.asarray(side_colp)
         self._side_vw = jnp.asarray(side_vw)
-        self._loc_sz = loc_sz
-        # diagonal side entries (row == col): their values must join the
-        # Jacobi/Chebyshev diagonal — the MPC folds master-master stiffness
-        # into the side matrix, and ignoring it under-scales every row on
-        # the periodic plane (measured 242 vs 37 CG its at n=48)
-        is_diag = (pattern.row_ids == pattern.indices)
-        side_diag_w = np.zeros((D, max_rows), _real_dtype(dtype))
-        for d in range(D):
-            sel = per_dev[d]
-            k = len(sel)
-            side_diag_w[d, :k] = is_diag[sel].astype(_real_dtype(dtype))
         self._side_diag_w = jnp.asarray(side_diag_w)
+        self._loc_sz = loc_sz
 
-        # plane weights for dots: shared plane counted by the LEFT owner
-        wpl = np.ones((D, nxc + 1), _real_dtype(dtype))
-        wpl[:, 0] = 0.0
-        wpl[0, 0] = 1.0
-        # planes beyond global nx (padding on the last device) weigh 0
-        for d in range(D):
+        # plane weights for dots: shared plane counted by the LEFT owner in
+        # each axis; the per-vertex weight is the outer product (corners
+        # count once).  Planes beyond the global extent (padding) weigh 0.
+        wx = np.ones((Dx, nxc + 1), _real_dtype(dtype))
+        wx[:, 0] = 0.0
+        wx[0, 0] = 1.0
+        for dx in range(Dx):
             for p in range(nxc + 1):
-                if d * nxc + p > nx:
-                    wpl[d, p] = 0.0
-        self._wpl = jnp.asarray(wpl)
+                if dx * nxc + p > nx:
+                    wx[dx, p] = 0.0
+        wy = np.ones((Dy, nyc + 1), _real_dtype(dtype))
+        wy[:, 0] = 0.0
+        wy[0, 0] = 1.0
+        for dy in range(Dy):
+            for q in range(nyc + 1):
+                if dy * nyc + q > ny:
+                    wy[dy, q] = 0.0
+        wpq = np.zeros((Dx, Dy, nxc + 1, nyc + 1), _real_dtype(dtype))
+        for dx in range(Dx):
+            for dy in range(Dy):
+                wpq[dx, dy] = np.outer(wx[dx], wy[dy])
+        self._wpq = jnp.asarray(wpq)
 
-        # ---- two-level GMG transfer tables (pc_type == "gmg") -------------
+        # ---- two-level GMG transfer tables (pc_type == "gmg", Dy == 1) ----
         if pc_type == "gmg":
             # free-dof slab mask: corrections/residuals are projected onto
             # the unconstrained subspace around the coarse transfer (bc and
@@ -325,40 +381,39 @@ class ShardedLatticeProblem:
             if mpc_r is not None and mpc_r.num_local_slaves:
                 free[np.asarray(mpc_r.slaves)] = 0.0
             self._free_sh = jnp.asarray(
-                self._to_slabs(free.reshape(nx + 1, n1, n2, bs), D, nxc))
-            nc0 = nx // 2 + 1
+                self._to_boxes(free.reshape(nx + 1, n1, n2, bs), Dx, Dy, nxc, nyc))
             # restriction scatter: local fine plane p on device d maps to
             # coarse plane (d*nxc+p)//2 when the global plane is even and
             # this device owns it (left-owner rule, padding excluded)
-            r_idx = np.zeros((D, nxc + 1), np.int32)
-            r_w = np.zeros((D, nxc + 1), _real_dtype(dtype))
+            r_idx = np.zeros((Dx, Dy, nxc + 1), np.int32)
+            r_w = np.zeros((Dx, Dy, nxc + 1), _real_dtype(dtype))
             # prolongation gather: fine plane g even -> coarse g//2; odd ->
             # mean of (g-1)/2 and (g+1)/2
-            p_lo = np.zeros((D, nxc + 1), np.int32)
-            p_hi = np.zeros((D, nxc + 1), np.int32)
-            p_wlo = np.zeros((D, nxc + 1), _real_dtype(dtype))
-            p_whi = np.zeros((D, nxc + 1), _real_dtype(dtype))
-            for d in range(D):
+            p_lo = np.zeros((Dx, Dy, nxc + 1), np.int32)
+            p_hi = np.zeros((Dx, Dy, nxc + 1), np.int32)
+            p_wlo = np.zeros((Dx, Dy, nxc + 1), _real_dtype(dtype))
+            p_whi = np.zeros((Dx, Dy, nxc + 1), _real_dtype(dtype))
+            for d in range(Dx):
                 for p in range(nxc + 1):
-                    g = d * nxc + p
-                    if g > nx:
+                    g_ = d * nxc + p
+                    if g_ > nx:
                         continue
-                    if g % 2 == 0:
-                        r_idx[d, p] = g // 2
-                        r_w[d, p] = wpl[d, p]
-                        p_lo[d, p] = g // 2
-                        p_wlo[d, p] = 1.0
+                    if g_ % 2 == 0:
+                        r_idx[d, 0, p] = g_ // 2
+                        r_w[d, 0, p] = wx[d, p]
+                        p_lo[d, 0, p] = g_ // 2
+                        p_wlo[d, 0, p] = 1.0
                     else:
-                        p_lo[d, p] = (g - 1) // 2
-                        p_hi[d, p] = (g + 1) // 2
-                        p_wlo[d, p] = 0.5
-                        p_whi[d, p] = 0.5
+                        p_lo[d, 0, p] = (g_ - 1) // 2
+                        p_hi[d, 0, p] = (g_ + 1) // 2
+                        p_wlo[d, 0, p] = 0.5
+                        p_whi[d, 0, p] = 0.5
             self._gmg_tabs = tuple(jnp.asarray(t) for t in
                                    (r_idx, r_w, p_lo, p_hi, p_wlo, p_whi))
         else:
-            self._free_sh = jnp.zeros((D, 1), _real_dtype(dtype))
-            z = jnp.zeros((D, 1), np.int32)
-            zf = jnp.zeros((D, 1), _real_dtype(dtype))
+            self._free_sh = jnp.zeros((Dx, Dy, 1), _real_dtype(dtype))
+            z = jnp.zeros((Dx, Dy, 1), np.int32)
+            zf = jnp.zeros((Dx, Dy, 1), _real_dtype(dtype))
             self._gmg_tabs = (z, zf, z, z, zf, zf)
 
         # backsubstitution tables
@@ -373,46 +428,53 @@ class ShardedLatticeProblem:
         self._build_step(nx, ny, nzc, n1, n2)
 
     @staticmethod
-    def _to_slabs(grid, D, nxc):
-        """(n0, n1, n2, bs) -> (D, nxc+1, n1, n2, bs) duplicated-plane slabs."""
-        n0 = grid.shape[0]
-        out = np.zeros((D, nxc + 1) + grid.shape[1:], grid.dtype)
-        for d in range(D):
-            x0 = d * nxc
+    def _to_boxes(grid, Dx, Dy, nxc, nyc):
+        """(n0, n1, n2, bs) -> (Dx, Dy, nxc+1, nyc+1, n2, bs) duplicated-plane
+        boxes (zero-padded past the global extent)."""
+        n0, n1 = grid.shape[0], grid.shape[1]
+        out = np.zeros((Dx, Dy, nxc + 1, nyc + 1) + grid.shape[2:], grid.dtype)
+        for dx in range(Dx):
+            x0 = dx * nxc
             x1 = min(x0 + nxc + 1, n0)
-            if x1 > x0:
-                out[d, : x1 - x0] = grid[x0:x1]
+            for dy in range(Dy):
+                y0 = dy * nyc
+                y1 = min(y0 + nyc + 1, n1)
+                if x1 > x0 and y1 > y0:
+                    out[dx, dy, : x1 - x0, : y1 - y0] = grid[x0:x1, y0:y1]
         return out
 
     # ------------------------------------------------------------------
     def _build_step(self, nx, ny, nzc, n1, n2):
-        D, nxc, bs, T = self.D, self.nxc, self.bs, self.T
+        Dx, Dy, nxc, nyc, bs, T = self.Dx, self.Dy, self.nxc, self.nyc, self.bs, self.T
+        axx, axy = self._axx, self._axy
         kernels = self.kernels
         moves, offsets = self.moves, self.offsets
         n_off = len(offsets)
         dtype = self.dtype
         nnz_side = self.nnz_side
-        loc_sz = self._loc_sz
         rtol, max_it = self.rtol, self.max_it
         pc_type = self.pc_type
-        cheb_degree, cheb_power_iters = self.cheb_degree, self.cheb_power_iters
+        cheb_degree = self.cheb_degree
         diagval = jnp.asarray(self.diagval, dtype)
-        fwd = [(i, (i + 1) % D) for i in range(D)]
-        bwd = [(i, (i - 1) % D) for i in range(D)]
+        fwd_x = [(i, (i + 1) % Dx) for i in range(Dx)]
+        bwd_x = [(i, (i - 1) % Dx) for i in range(Dx)]
+        fwd_y = [(j, (j + 1) % Dy) for j in range(Dy)]
+        bwd_y = [(j, (j - 1) % Dy) for j in range(Dy)]
         nd = self.V.ndofs_cell
         bs_tabs = self._bs_tabs
-        me_last = D - 1
+        lx, ly = Dx - 1, Dy - 1
+        n1l, n2l = nyc + 1, n2  # local y planes, z extent
 
-        def exchange_planes(lo_partial, hi_partial):
-            """Sum duplicated-plane partials with both neighbours.
-            lo_partial: this device's partial for its FIRST plane (shared with
-            the left neighbour's last); hi_partial: partial for its LAST
-            plane.  Returns completed (lo, hi)."""
-            from_left = jax.lax.ppermute(hi_partial, AXIS, fwd)  # left's hi -> my lo
-            from_right = jax.lax.ppermute(lo_partial, AXIS, bwd)  # right's lo -> my hi
-            me = jax.lax.axis_index(AXIS)
+        def exchange_axis(lo_partial, hi_partial, axis_name, fwd, bwd, last):
+            """Sum duplicated-plane partials with both neighbours along ONE
+            mesh axis.  lo_partial: this device's partial for its FIRST plane
+            (shared with the left neighbour's last); hi_partial: partial for
+            its LAST plane.  Returns completed (lo, hi)."""
+            from_left = jax.lax.ppermute(hi_partial, axis_name, fwd)
+            from_right = jax.lax.ppermute(lo_partial, axis_name, bwd)
+            me = jax.lax.axis_index(axis_name)
             lo = lo_partial + jnp.where(me > 0, 1.0, 0.0).astype(lo_partial.dtype) * from_left
-            hi = hi_partial + jnp.where(me < me_last, 1.0, 0.0).astype(hi_partial.dtype) * from_right
+            hi = hi_partial + jnp.where(me < last, 1.0, 0.0).astype(hi_partial.dtype) * from_right
             return lo, hi
 
         gmg_pre, gmg_post, gmg_omega = self.gmg_pre, self.gmg_post, self.gmg_omega
@@ -420,13 +482,13 @@ class ShardedLatticeProblem:
 
         def device_step(coords, w_cell, keep, diag_sh, b_sh, Tr_sh, sc_pos, sc_valid,
                         slot_sh, need_idx, need_w, side_sel, side_lrow, side_colp,
-                        side_vw, wpl, side_diag_w, wl_sh, free_sh, gmg_tabs, cgmg):
-            sq = lambda t: jax.tree_util.tree_map(lambda x: x[0], t)
+                        side_vw, wpq, side_diag_w, wl_sh, free_sh, gmg_tabs, cgmg):
+            sq = lambda t: jax.tree_util.tree_map(lambda x: x[0, 0], t)
             (coords, w_cell, keep, diag_sh, b_sh, Tr_sh, sc_pos, sc_valid, slot_sh,
-             need_idx, need_w, side_sel, side_lrow, side_colp, side_vw, wpl,
+             need_idx, need_w, side_sel, side_lrow, side_colp, side_vw, wpq,
              side_diag_w, wl_sh, free_sh, gmg_tabs) = sq(
                 (coords, w_cell, keep, diag_sh, b_sh, Tr_sh, sc_pos, sc_valid, slot_sh,
-                 need_idx, need_w, side_sel, side_lrow, side_colp, side_vw, wpl,
+                 need_idx, need_w, side_sel, side_lrow, side_colp, side_vw, wpq,
                  side_diag_w, wl_sh, free_sh, gmg_tabs))
 
             # ---- assembly: sum of all cell terms ---------------------------
@@ -436,81 +498,104 @@ class ShardedLatticeProblem:
                 Ae = Ae_t if Ae is None else Ae + Ae_t
             Ae_bc = Ae * keep[:, None, :] * keep[None, :, :]
             Ae_st = Ae_bc * w_cell
-            Ae_grid = Ae_st.reshape(nd, nd, nxc, ny, nzc, T)
-            data = jnp.zeros((n_off, bs, bs, nxc + 1, n1, n2), dtype=Ae.dtype)
+            Ae_grid = Ae_st.reshape(nd, nd, nxc, nyc, nzc, T)
+            data = jnp.zeros((n_off, bs, bs, nxc + 1, nyc + 1, n2), dtype=Ae.dtype)
             for t, a_, b_, oid, (di, dj, dk) in moves:
                 for ci in range(bs):
                     for cj in range(bs):
                         data = data.at[
-                            oid, ci, cj, di : di + nxc, dj : dj + ny, dk : dk + nzc
+                            oid, ci, cj, di : di + nxc, dj : dj + nyc, dk : dk + nzc
                         ].add(Ae_grid[a_ * bs + ci, b_ * bs + cj, :, :, :, t])
-            lo, hi = exchange_planes(data[:, :, :, 0], data[:, :, :, nxc])
+            # dimension-ordered duplicated-plane sum: x first, then y over
+            # the x-completed planes (corners complete automatically)
+            lo, hi = exchange_axis(data[:, :, :, 0], data[:, :, :, nxc],
+                                   axx, fwd_x, bwd_x, lx)
             data = data.at[:, :, :, 0].set(lo).at[:, :, :, nxc].set(hi)
+            if Dy > 1:
+                lo, hi = exchange_axis(data[:, :, :, :, 0], data[:, :, :, :, nyc],
+                                       axy, fwd_y, bwd_y, ly)
+                data = data.at[:, :, :, :, 0].set(lo).at[:, :, :, :, nyc].set(hi)
             # bc diagval
             zid = offsets.index((0, 0, 0))
             for ci in range(bs):
                 data = data.at[zid, ci, ci].add(diag_sh[:, :, :, ci])
 
-            # side matrix: replicated via one psum (skipped when no MPC/side)
+            # side matrix: replicated via one psum over BOTH axes
             if nnz_side:
                 Ae_sl = jnp.moveaxis(Ae_bc[:, :, sc_pos], -1, 0) * sc_valid[:, None, None].astype(Ae.dtype)
                 Aep = jnp.einsum("ciw,cij,cjv->cwv", jnp.conj(Tr_sh), Ae_sl, Tr_sh,
                                  preferred_element_type=Ae.dtype)
-                me = jax.lax.axis_index(AXIS)
-                on0 = (me == 0).astype(dtype)
+                mex = jax.lax.axis_index(axx)
+                mey = jax.lax.axis_index(axy)
+                on0 = ((mex == 0) & (mey == 0)).astype(dtype)
                 vals = jnp.concatenate([
                     Aep.reshape(-1),
                     jnp.full((self._slave_diag_slots.shape[0],), diagval, dtype) * on0,
                 ])
                 slots = jnp.concatenate([slot_sh, self._slave_diag_slots])
                 side = jax.lax.psum(
-                    jax.ops.segment_sum(vals, slots, num_segments=nnz_side + 1)[:nnz_side], AXIS
+                    jax.ops.segment_sum(vals, slots, num_segments=nnz_side + 1)[:nnz_side],
+                    (axx, axy),
                 )
             else:
                 side = jnp.zeros((0,), dtype)
 
-            # ---- matvec over the slab -------------------------------------
-            # x-halo gather: fetch ONE plane from each neighbour so every
-            # device computes COMPLETE rows for all its (duplicated-plane-
-            # consistent) planes — no y-exchange, no double counting of the
-            # shared plane's diagonal terms.
-            def matvec(x):  # x: (nxc+1, n1, n2, bs)
-                from_left = jax.lax.ppermute(x[nxc - 1], AXIS, fwd)
-                from_right = jax.lax.ppermute(x[1], AXIS, bwd)
+            # ---- matvec over the box --------------------------------------
+            # dimension-ordered halo gather: fetch ONE x plane from each
+            # x-neighbour, then ONE y row of the x-EXTENDED array from each
+            # y-neighbour (it carries the diagonal-neighbour corners), so
+            # every device computes COMPLETE rows for all its planes.
+            def matvec(x):  # x: (nxc+1, nyc+1, n2, bs)
+                from_left = jax.lax.ppermute(x[nxc - 1], axx, fwd_x)
+                from_right = jax.lax.ppermute(x[1], axx, bwd_x)
                 xext = jnp.concatenate([from_left[None], x, from_right[None]], axis=0)
+                if Dy > 1:
+                    from_lo = jax.lax.ppermute(xext[:, nyc - 1], axy, fwd_y)
+                    from_hi = jax.lax.ppermute(xext[:, 1], axy, bwd_y)
+                    xext = jnp.concatenate(
+                        [from_lo[:, None], xext, from_hi[:, None]], axis=1)
+                    ypad = 1
+                else:
+                    ypad = 0
                 y = jnp.zeros_like(x)
-                N0 = nxc + 1
+                N0, N1 = nxc + 1, nyc + 1
                 for d_, (di, dj, dk) in enumerate(offsets):
-                    dstjk = (slice(max(-dj, 0), n1 - max(dj, 0)),
-                             slice(max(-dk, 0), n2 - max(dk, 0)))
-                    srcjk = (slice(max(dj, 0), n1 + min(dj, 0)),
-                             slice(max(dk, 0), n2 + min(dk, 0)))
+                    if Dy > 1:
+                        dstj = slice(None)
+                        srcj = slice(ypad + dj, ypad + dj + N1)
+                    else:
+                        dstj = slice(max(-dj, 0), N1 - max(dj, 0))
+                        srcj = slice(max(dj, 0), N1 + min(dj, 0))
+                    dstk = slice(max(-dk, 0), n2 - max(dk, 0))
+                    srck = slice(max(dk, 0), n2 + min(dk, 0))
                     for ci in range(bs):
                         acc = None
                         for cj in range(bs):
                             term = (
-                                data[(d_, ci, cj, slice(None)) + dstjk]
-                                * xext[(slice(1 + di, 1 + di + N0),) + srcjk + (cj,)]
+                                data[d_, ci, cj, :, dstj, dstk]
+                                * xext[slice(1 + di, 1 + di + N0), srcj, srck, cj]
                             )
                             acc = term if acc is None else acc + term
-                        y = y.at[(slice(None),) + dstjk + (ci,)].add(acc)
+                        y = y.at[:, dstj, dstk, ci].add(acc)
                 if nnz_side:
-                    # side part: gather needed x, add owned rows (both owners
-                    # for duplicated planes -> consistent)
+                    # side part: gather needed x, add owned rows (all owners
+                    # of duplicated planes -> consistent)
                     xf = x.reshape(-1)
-                    need_x = jax.lax.psum(need_w.astype(x.dtype) * xf[need_idx], AXIS)
+                    need_x = jax.lax.psum(need_w.astype(x.dtype) * xf[need_idx],
+                                          (axx, axy))
                     prod = side[side_sel] * need_x[side_colp] * side_vw.astype(x.dtype)
                     y = (y.reshape(-1).at[side_lrow].add(prod)).reshape(x.shape)
                 return y
 
             def dot(u, v):
                 return jax.lax.psum(
-                    jnp.sum(wpl[:, None, None, None].astype(u.dtype) * jnp.conj(u) * v), AXIS
+                    jnp.sum(wpq[:, :, None, None].astype(u.dtype) * jnp.conj(u) * v),
+                    (axx, axy),
                 )
 
             # Jacobi diag: stencil + bc diagonal PLUS the side-matrix
             # diagonal (MPC master-master terms; slave rows get diagval)
-            diag = jnp.zeros((nxc + 1, n1, n2, bs), dtype)
+            diag = jnp.zeros((nxc + 1, nyc + 1, n2, bs), dtype)
             zoff = offsets.index((0, 0, 0))
             for ci in range(bs):
                 diag = diag.at[:, :, :, ci].set(data[zoff, ci, ci])
@@ -528,10 +613,10 @@ class ShardedLatticeProblem:
                 # at scale, which makes the Chebyshev polynomial AMPLIFY the
                 # untargeted top modes — measured 2584 CG its at 389k dofs.)
                 rdt = jnp.real(jnp.zeros((), dtype)).dtype
-                rowsum = jnp.abs(data).sum(axis=(0, 2))  # (bs, nxc+1, n1, n2)
-                dpos = jnp.moveaxis(jnp.abs(diag), -1, 0)  # (bs, nxc+1, n1, n2)
+                rowsum = jnp.abs(data).sum(axis=(0, 2))  # (bs, nxc+1, nyc+1, n2)
+                dpos = jnp.moveaxis(jnp.abs(diag), -1, 0)
                 ratio = jnp.where(dpos > 0, rowsum / jnp.maximum(dpos, 1e-30), 0.0)
-                lmax = jax.lax.pmax(jnp.max(ratio).astype(rdt), AXIS) * 1.05
+                lmax = jax.lax.pmax(jnp.max(ratio).astype(rdt), (axx, axy)) * 1.05
                 lmin = 0.06 * lmax
                 theta = (lmax + lmin) / 2
                 delta = (lmax - lmin) / 2
@@ -553,13 +638,13 @@ class ShardedLatticeProblem:
                         rho = rho_new
                     return xk
             elif pc_type == "gmg":
-                # sharded two-level V-cycle: slab-local Jacobi smoothing +
-                # x-halo full-weighting restriction, psum-replicated coarse
-                # residual solved by the (n/2)-rooted LatticeGMG hierarchy
-                # (identical deterministic computation on every device),
-                # masked prolongation back onto the slab.  The reference
-                # analogue: BoomerAMG applied rank-parallel inside every KSP
-                # iteration (bench_periodic.py:115-133).
+                # sharded two-level V-cycle (Dy == 1): slab-local Jacobi
+                # smoothing + x-halo full-weighting restriction,
+                # psum-replicated coarse residual solved by the (n/2)-rooted
+                # LatticeGMG hierarchy (identical deterministic computation
+                # on every device), masked prolongation back onto the slab.
+                # The reference analogue: BoomerAMG applied rank-parallel
+                # inside every KSP iteration (bench_periodic.py:115-133).
                 from ..la.gmg import _prolong1, _restrict1
 
                 r_idx, r_w, p_lo, p_hi, p_wlo, p_whi = gmg_tabs
@@ -580,18 +665,18 @@ class ShardedLatticeProblem:
                     g = 2.0 * _restrict1(res, 1)
                     g = 2.0 * _restrict1(g, 2)
                     # ... then x full weighting with one halo plane per side
-                    from_left = jax.lax.ppermute(g[nxc - 1], AXIS, fwd)
-                    from_right = jax.lax.ppermute(g[1], AXIS, bwd)
-                    me = jax.lax.axis_index(AXIS)
+                    from_left = jax.lax.ppermute(g[nxc - 1], axx, fwd_x)
+                    from_right = jax.lax.ppermute(g[1], axx, bwd_x)
+                    me = jax.lax.axis_index(axx)
                     wl = jnp.where(me > 0, 1.0, 0.0).astype(g.dtype)
-                    wr = jnp.where(me < me_last, 1.0, 0.0).astype(g.dtype)
+                    wr = jnp.where(me < lx, 1.0, 0.0).astype(g.dtype)
                     gext = jnp.concatenate(
                         [(wl * from_left)[None], g, (wr * from_right)[None]], 0)
                     gx = 2.0 * (0.5 * gext[1:-1] + 0.25 * (gext[:-2] + gext[2:]))
                     rc = jnp.zeros((nc0,) + gx.shape[1:], r.dtype)
                     rc = rc.at[r_idx].add(
                         r_w[:, None, None, None].astype(r.dtype) * gx)
-                    rc = jax.lax.psum(rc, AXIS)  # replicated coarse residual
+                    rc = jax.lax.psum(rc, (axx, axy))  # replicated coarse residual
                     rcf = rc.reshape(-1)
                     if cmask0 is not None:
                         rcf = rcf * cmask0.astype(rcf.dtype)
@@ -635,9 +720,9 @@ class ShardedLatticeProblem:
 
             x, r, _, _, _, k = jax.lax.while_loop(cond, body, (x, r, z, p, rz, 0))
             rnorm = jnp.sqrt(jnp.real(dot(r, r)))
-            return x[None], k, rnorm
+            return x[None, None], k, rnorm
 
-        dev = P(AXIS)
+        dev = P(axx, axy)
         rep = P()
         smapped = jax.shard_map(
             device_step,
@@ -659,22 +744,28 @@ class ShardedLatticeProblem:
             self._coords_sh, self._w_cell, self._keep_sh, self._diag_sh, self._b_sh,
             self._Tr_sh, self._sc_pos, self._sc_valid, self._slot_sh,
             self._need_idx, self._need_w, self._side_sel, self._side_lrow,
-            self._side_colp, self._side_vw, self._wpl, self._side_diag_w,
+            self._side_colp, self._side_vw, self._wpq, self._side_diag_w,
             self._wl_sh, self._free_sh, self._gmg_tabs, cgmg,
         )
-        # stitch slabs: device d owns planes [d*nxc, d*nxc + nxc) plus the
-        # global last plane from the last device
+        # stitch boxes: device (dx,dy) owns planes [dx*nxc, dx*nxc+nxc) x
+        # [dy*nyc, dy*nyc+nyc) plus the global last plane in each axis
         n0, n1, n2 = self.vshape
         bs = self.bs
-        xs = np.asarray(xs)  # (D, nxc+1, n1, n2, bs)
+        xs = np.asarray(xs)  # (Dx, Dy, nxc+1, nyc+1, n2, bs)
         full = np.zeros((n0, n1, n2, bs), xs.dtype)
         for p in range(n0):
-            d = min(p // self.nxc, self.D - 1)
-            local = p - d * self.nxc
-            if local > self.nxc:  # beyond the last device's slab: walk back
-                d = (p - 1) // self.nxc
-                local = p - d * self.nxc
-            full[p] = xs[d, local]
+            dx = min(p // self.nxc, self.Dx - 1)
+            lp = p - dx * self.nxc
+            if lp > self.nxc:  # beyond the last device's box: walk back
+                dx = (p - 1) // self.nxc
+                lp = p - dx * self.nxc
+            for q in range(n1):
+                dy = min(q // self.nyc, self.Dy - 1)
+                lq = q - dy * self.nyc
+                if lq > self.nyc:
+                    dy = (q - 1) // self.nyc
+                    lq = q - dy * self.nyc
+                full[p, q] = xs[dx, dy, lp, lq]
         u = full.reshape(-1)
         if self._bs_tabs is not None:
             sl, ma, co = self._bs_tabs

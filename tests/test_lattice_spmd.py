@@ -183,3 +183,60 @@ def test_sharded_gmg_matches_single_device():
         u, its, rn = pg.solve()
         err = np.abs(u - np.asarray(ref.x.array)).max()
         assert err < 1e-9, f"n_dev={n_dev}: err={err} its={its}"
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4), (2, 2)])
+def test_sharded_lattice_2d_mesh(shape):
+    """2-D (x,y) box decomposition (SURVEY §2.3 '1-D slabs only' gap): the
+    dimension-ordered halo exchange must complete edge/corner vertices owned
+    by up to 4 devices; solution == single-device LinearProblem."""
+    import jax
+    from jax.sharding import Mesh
+
+    Dx, Dy = shape
+    V, a, L, mpc, bc = _problem_3d(6)
+    ref = dmt.LinearProblem(a, L, mpc, bcs=[bc],
+                            petsc_options={"ksp_rtol": 1e-12}).solve()
+    devs = np.array(jax.devices()[: Dx * Dy]).reshape(Dx, Dy)
+    prob = ShardedLatticeProblem(
+        a, L, mpc, [bc], device_mesh=Mesh(devs, ("sx", "sy")), rtol=1e-12
+    )
+    u, its, rnorm = prob.solve()
+    err = np.abs(u - np.asarray(ref.x.array)).max()
+    assert err < 1e-9, f"{shape}: err={err} its={its}"
+
+
+def test_sharded_lattice_2d_uneven_boxes():
+    """n=7 over a (4,2) mesh: both axes padded (nxc=2 covers 8>7 planes,
+    nyc=4 covers 8>7) — exercises the zero-padding + left-owner weights."""
+    import jax
+    from jax.sharding import Mesh
+
+    V, a, L, mpc, bc = _problem_3d(7)
+    ref = dmt.LinearProblem(a, L, mpc, bcs=[bc],
+                            petsc_options={"ksp_rtol": 1e-12}).solve()
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    prob = ShardedLatticeProblem(
+        a, L, mpc, [bc], device_mesh=Mesh(devs, ("sx", "sy")), rtol=1e-12
+    )
+    u, its, rnorm = prob.solve()
+    err = np.abs(u - np.asarray(ref.x.array)).max()
+    assert err < 1e-9, f"err={err} its={its}"
+
+
+def test_sharded_lattice_2d_chebyshev():
+    """Chebyshev PC on a 2-D mesh (pmax/psum over both axes)."""
+    import jax
+    from jax.sharding import Mesh
+
+    V, a, L, mpc, bc = _problem_3d(8)
+    ref = dmt.LinearProblem(a, L, mpc, bcs=[bc],
+                            petsc_options={"ksp_rtol": 1e-11}).solve()
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    prob = ShardedLatticeProblem(
+        a, L, mpc, [bc], device_mesh=Mesh(devs, ("sx", "sy")), rtol=1e-11,
+        pc_type="chebyshev", cheb_degree=3,
+    )
+    u, its, rnorm = prob.solve()
+    err = np.abs(u - np.asarray(ref.x.array)).max()
+    assert err < 1e-8, f"err={err} its={its}"
