@@ -122,6 +122,29 @@ def chain_diff(run_chain, k_lo, k_hi, label, floor=4e-3, k_max=4096):
     return max(per, 1e-9), suspect
 
 
+def _init_devices_retry(tries=10, sleep=30):
+    """The TPU tunnel throws transient UNAVAILABLE at backend init (observed
+    killing a round-3 chain step); jax caches init failures per process, so
+    clear backends between attempts."""
+    import jax
+
+    for i in range(tries):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if "UNAVAILABLE" not in str(e) or i == tries - 1:
+                raise
+            log(f"TPU tunnel UNAVAILABLE at init (attempt {i + 1}/{tries}); "
+                f"retrying in {sleep}s")
+            try:
+                import jax.extend.backend as jeb
+
+                jeb.clear_backends()
+            except Exception:
+                pass
+            time.sleep(sleep)
+
+
 def _hier_code_hash():
     """Hash of the sources that determine assembled coarse-level values —
     keys the on-disk hierarchy cache so a kernel change invalidates it."""
@@ -132,7 +155,12 @@ def _hier_code_hash():
     for p in ("dolfinx_mpc_tpu/ops/lattice.py",
               "dolfinx_mpc_tpu/ops/pallas_lattice.py",
               "dolfinx_mpc_tpu/ops/soa_kernels.py",
-              "dolfinx_mpc_tpu/la/gmg.py"):
+              "dolfinx_mpc_tpu/la/gmg.py",
+              # element tabulation / form compilation also determine the
+              # assembled entries — a change there must invalidate the cache
+              "dolfinx_mpc_tpu/fem/elements.py",
+              "dolfinx_mpc_tpu/fem/forms.py",
+              "dolfinx_mpc_tpu/fem/quadrature.py"):
         h.update(open(os.path.join(base, p), "rb").read())
     return h.hexdigest()[:12]
 
@@ -286,7 +314,7 @@ def main():
     # MUST be joined before the first eager jnp op (mpc.finalize): two
     # threads racing into axon backend init deadlock the plugin.
     init_t0 = time.time()
-    init_thread = threading.Thread(target=jax.devices, daemon=True)
+    init_thread = threading.Thread(target=_init_devices_retry, daemon=True)
     init_thread.start()
 
     import dolfinx_mpc_tpu as dmt
@@ -426,8 +454,10 @@ def main():
                                dtype=jnp.float32)
         y_pl = jax.jit(lambda A_, x_: A_.matvec(x_))(d_xla, xr)
         os.environ["DMT_NO_PALLAS"] = "1"
-        y_xla = jax.jit(lambda A_, x_: A_.matvec(x_))(d_xla, xr)
-        del os.environ["DMT_NO_PALLAS"]
+        try:
+            y_xla = jax.jit(lambda A_, x_: A_.matvec(x_))(d_xla, xr)
+        finally:
+            del os.environ["DMT_NO_PALLAS"]
         rel_m = float(jnp.linalg.norm(y_pl - y_xla)) / max(float(jnp.linalg.norm(y_xla)), 1e-30)
         log(f"on-chip pallas==XLA: assembler rel {rel_a:.2e}, SpMV rel {rel_m:.2e} "
             f"({time.time()-t0:.1f}s)")

@@ -452,12 +452,19 @@ class DirichletBC:
 
     def dof_values(self, dtype=np.float64) -> np.ndarray:
         if isinstance(self.value, Function):
-            # bc dofs are parent-global; the value Function either lives on
-            # the same offset field view (subtract its own offset) or on a
-            # collapsed/base sub-space — what split() returns — in which
-            # case the BC space's offset maps parent-global -> field-local
-            voff = (getattr(self.value.function_space, "dof_offset", 0)
-                    or getattr(self.V, "dof_offset", 0))
+            # bc dofs are parent-global; the value Function lives either on
+            # the same offset field view (subtract its own offset), on the
+            # full mixed parent (index directly), or on a collapsed/base
+            # sub-space — what split() returns — in which case the BC
+            # space's offset maps parent-global -> field-local
+            vs = self.value.function_space
+            voff = getattr(vs, "dof_offset", 0)
+            if not voff:
+                parent = getattr(self.V, "mixed_parent", None)
+                on_parent = parent is not None and (
+                    vs is parent or vs.num_dofs == parent.num_dofs)
+                if not on_parent:
+                    voff = getattr(self.V, "dof_offset", 0)
             idx = self.dofs - voff
             arr = self.value.x.array
             if len(idx) and (idx.min() < 0 or idx.max() >= len(arr)):

@@ -247,17 +247,29 @@ def smoothed_aggregation_amg(
     # the SVD behind pinv (measured 16.8 s -> ~0.4 s at ~5k coarse rows when
     # aggregation stalls early); tiny diagonal shift keeps it factorizable,
     # pinv stays as the fallback for genuinely singular coarse operators.
-    Ad = np.asarray(ops[-1].todense(), dtype=np.float64)
-    nC = Ad.shape[0]
-    try:
-        import scipy.linalg as sla
+    nC = ops[-1].shape[0]
+    if nC <= 16384:
+        Ad = np.asarray(ops[-1].todense(), dtype=np.float64)
+        try:
+            import scipy.linalg as sla
 
-        shift = 1e-10 * (np.trace(Ad) / max(nC, 1))
-        c_lo = sla.cho_factor(Ad + shift * np.eye(nC), lower=True)
-        coarse_dense = sla.cho_solve(c_lo, np.eye(nC))
-    except Exception:
-        coarse_dense = np.linalg.pinv(Ad)
-    coarse_inv = jnp.asarray(coarse_dense.astype(dtype))
+            shift = 1e-10 * (np.trace(Ad) / max(nC, 1))
+            c_lo = sla.cho_factor(Ad + shift * np.eye(nC), lower=True)
+            coarse_dense = sla.cho_solve(c_lo, np.eye(nC))
+        except Exception:
+            coarse_dense = np.linalg.pinv(Ad)
+        coarse_inv = jnp.asarray(coarse_dense.astype(dtype))
+    else:
+        # aggregation stalled with a large coarsest level (e.g. an empty
+        # strength graph on a strongly diagonally dominant operator): a
+        # dense inverse would be O(nC^2) memory, so terminate the V-cycle
+        # with Chebyshev smoothing on that level instead.
+        d = ops[-1].diagonal()
+        dev_ops.append(_to_device_op(ops[-1], dtype))
+        inv_diag.append(jnp.asarray(
+            np.where(d != 0, 1.0 / d, 0.0).astype(dtype)))
+        chebs.append(_rho_dinv_a(ops[-1]))
+        coarse_inv = None
     cheb = [(rho / 20.0, 1.1 * rho) for rho in chebs]
     return AMG(dev_ops, dev_P, dev_R, inv_diag, coarse_inv, cheb,
                degree=n_smooth)
@@ -310,8 +322,13 @@ class AMG:
         return x
 
     def _vcycle(self, lvl, b):
-        if lvl == len(self.ops):
-            return self.coarse_inv @ b
+        if lvl == len(self.Ps):
+            if self.coarse_inv is not None:
+                return self.coarse_inv @ b
+            # no dense coarse inverse (coarsest level too large):
+            # approximate the coarse solve with two Chebyshev sweeps
+            x = self._smooth(lvl, jnp.zeros_like(b), b)
+            return self._smooth(lvl, x, b)
         x = self._smooth(lvl, jnp.zeros_like(b), b)
         r = b - self.ops[lvl].matvec(x)
         xc = self._vcycle(lvl + 1, self.Rs[lvl].matvec(r))

@@ -361,10 +361,24 @@ def solve(A: Callable, b, options: SolverOptions, diag=None, x0=None,
         M = jacobi_preconditioner(diag)
     elif options.pc_type == "chebyshev" and diag is not None:
         M = chebyshev_preconditioner(A, diag, degree=options.cheb_degree)
-    elif options.pc_type in ("gamg", "amg", "hypre", "boomeramg") and Aop is not None:
-        from .amg import smoothed_aggregation_amg
+    elif options.pc_type in ("gamg", "amg", "hypre", "boomeramg"):
+        if Aop is not None:
+            from .amg import smoothed_aggregation_amg
 
-        M = smoothed_aggregation_amg(Aop, bs=bs, dtype=np.asarray(b).dtype)
+            M = smoothed_aggregation_amg(Aop, bs=bs, dtype=np.asarray(b).dtype)
+        elif diag is not None:
+            # AMG needs the assembled operator; fall back loudly to Jacobi
+            # rather than silently running unpreconditioned CG
+            import warnings
+
+            warnings.warn(
+                f"pc_type={options.pc_type!r} requires the assembled operator "
+                "(Aop); falling back to Jacobi", stacklevel=2)
+            M = jacobi_preconditioner(diag)
+        else:
+            raise ValueError(
+                f"pc_type={options.pc_type!r} requires the assembled operator "
+                "(pass Aop=...)")
     kw = dict(M=M, x0=x0, rtol=options.rtol, atol=options.atol, max_it=options.max_it)
     if options.ksp_type == "cg":
         return cg(A, b, **kw)

@@ -463,7 +463,6 @@ class ShardedLatticeProblem:
         nd = self.V.ndofs_cell
         bs_tabs = self._bs_tabs
         lx, ly = Dx - 1, Dy - 1
-        n1l, n2l = nyc + 1, n2  # local y planes, z extent
 
         def exchange_axis(lo_partial, hi_partial, axis_name, fwd, bwd, last):
             """Sum duplicated-plane partials with both neighbours along ONE

@@ -41,8 +41,10 @@ def main(n=500_000):
     mv = jax.jit(lambda B_, x_: B_.matvec(x_))
     y_pl = np.asarray(mv(B, x))
     os.environ["DMT_NO_PALLAS"] = "1"
-    y_xla = np.asarray(jax.jit(lambda B_, x_: B_.matvec(x_))(B, x))
-    del os.environ["DMT_NO_PALLAS"]
+    try:
+        y_xla = np.asarray(jax.jit(lambda B_, x_: B_.matvec(x_))(B, x))
+    finally:
+        del os.environ["DMT_NO_PALLAS"]
     y_ref = A @ np.asarray(x, np.float64)
     rel = np.abs(y_pl - y_xla).max() / max(np.abs(y_xla).max(), 1e-30)
     rel_ref = np.abs(y_pl - y_ref).max() / max(np.abs(y_ref).max(), 1e-30)
@@ -60,22 +62,25 @@ def main(n=500_000):
     for label, env in (("pallas", None), ("xla", "1")):
         if env:
             os.environ["DMT_NO_PALLAS"] = env
-        ch = jax.jit(lambda B_, x_, k: chain(B_, x_, k))
-        np.asarray(ch(B, x, 1))  # warm
-        best = {}
-        for k in (1, 33):
-            b = 1e9
-            for r in range(4):
-                xs = x * (1.0 + 1e-9 * r)
-                t0 = time.time()
-                np.asarray(ch(B, xs, k))
-                b = min(b, time.time() - t0)
-            best[k] = b
-        per = (best[33] - best[1]) / 32
-        bw = (B.data.nbytes + 8 * n) / per / 1e9
-        print(f"{label}: {per*1e3:.2f} ms/matvec ({bw:.0f} GB/s effective)", flush=True)
-        if env:
-            del os.environ["DMT_NO_PALLAS"]
+        try:
+            ch = jax.jit(lambda B_, x_, k: chain(B_, x_, k))
+            np.asarray(ch(B, x, 1))  # warm
+            best = {}
+            for k in (1, 33):
+                b = 1e9
+                for r in range(4):
+                    xs = x * (1.0 + 1e-9 * r)
+                    t0 = time.time()
+                    np.asarray(ch(B, xs, k))
+                    b = min(b, time.time() - t0)
+                best[k] = b
+            per = (best[33] - best[1]) / 32
+            bw = (B.data.nbytes + 8 * n) / per / 1e9
+            print(f"{label}: {per*1e3:.2f} ms/matvec ({bw:.0f} GB/s effective)",
+                  flush=True)
+        finally:
+            if env:
+                del os.environ["DMT_NO_PALLAS"]
 
 
 if __name__ == "__main__":

@@ -143,3 +143,56 @@ def test_amg_contact_elasticity_iterations():
     assert float(jnp.linalg.norm(x - x_j)) < 1e-4 * nrm
     assert its < its_j / 2, (int(its), int(its_j))
     assert its <= 100, int(its)
+
+
+def test_amg_large_coarse_fallback_no_dense():
+    """When aggregation makes no progress on a large operator (empty
+    strength graph on a strongly diagonally dominant matrix), setup must
+    NOT materialize a dense N^2 inverse — it terminates the V-cycle with
+    Chebyshev smoothing instead, and the preconditioner still works."""
+    from dolfinx_mpc_tpu.la.amg import smoothed_aggregation_amg
+    from dolfinx_mpc_tpu.la.sparse import CSRMatrix
+
+    n = 20_000  # > the 16384 dense-coarse cap
+    main = 10.0 * np.ones(n)
+    off = -1e-3 * np.ones(n - 1)  # far below theta*sqrt(aii*ajj)
+    A = sp.diags([off, main, off], [-1, 0, 1]).tocsr()
+    M = smoothed_aggregation_amg(A, coarse_size=200, dtype=np.float64)
+    assert M.coarse_inv is None  # dense inverse skipped
+    row_ids = np.repeat(np.arange(n, dtype=np.int32), np.diff(A.indptr))
+    Adev = CSRMatrix(jnp.asarray(A.data), jnp.asarray(A.indices.astype(np.int32)),
+                     jnp.asarray(A.indptr.astype(np.int32)),
+                     jnp.asarray(row_ids), A.shape)
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.standard_normal(n))
+    from dolfinx_mpc_tpu.la.solvers import cg
+
+    x, its, rn = cg(Adev.matvec, b, M=M, rtol=1e-10, max_it=200)
+    r = np.asarray(b) - A @ np.asarray(x)
+    assert np.linalg.norm(r) < 1e-8 * np.linalg.norm(np.asarray(b))
+    assert its < 50
+
+
+def test_gamg_without_operator_falls_back_to_jacobi():
+    """pc_type=gamg with no assembled operator must not silently run
+    unpreconditioned: it warns and uses Jacobi, or raises without diag."""
+    import warnings
+
+    from dolfinx_mpc_tpu.la.solvers import SolverOptions, solve
+
+    n = 500
+    main = 2.0 + np.arange(n) % 3
+    A = sp.diags([-np.ones(n - 1), main, -np.ones(n - 1)], [-1, 0, 1]).tocsr()
+    Adense = jnp.asarray(A.todense())
+    Adev = lambda x: Adense @ x
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(n))
+    opts = SolverOptions.from_petsc({"ksp_type": "cg", "pc_type": "gamg",
+                                     "ksp_rtol": 1e-10})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        x, its, rn = solve(Adev, b, opts, diag=jnp.asarray(main))
+        assert any("falling back to Jacobi" in str(wi.message) for wi in w)
+    r = np.asarray(b) - A @ np.asarray(x)
+    assert np.linalg.norm(r) < 1e-8 * np.linalg.norm(np.asarray(b))
+    with pytest.raises(ValueError):
+        solve(Adev, b, opts)

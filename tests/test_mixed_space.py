@@ -199,3 +199,35 @@ def test_mixed_coefficient():
     )
     b2 = np.asarray(dmt.assemble_vector(L2, None))
     assert np.abs(b - b2).max() < 1e-13
+
+
+def test_bc_value_function_space_placements():
+    """DirichletBC.dof_values maps correctly for all three placements of a
+    Function-typed value: on the offset field view itself, on the collapsed
+    base space (what split() returns), and on the full mixed parent.
+    Regression: the parent case used to be shifted by the view's offset and
+    sampled field 0's dofs (advisor round-3 finding)."""
+    mesh = create_unit_square(3, 3)
+    W = dmt.mixed_functionspace(mesh, [("Lagrange", 1), ("Lagrange", 1)])
+    Wq = W.sub(1)
+    assert Wq.dof_offset > 0
+    qdofs_blocks = dmt.locate_dofs_geometrical(Wq, lambda x: np.isclose(x[1], 0.0))
+
+    # value on the field view itself: array is field-local
+    g_view = dmt.Function(Wq)
+    g_view.x.array[:] = 100.0 + np.arange(Wq.num_dofs)
+    bc = dmt.dirichletbc(g_view, qdofs_blocks, Wq)
+    expect_local = 100.0 + (bc.dofs - Wq.dof_offset)
+    assert np.allclose(bc.dof_values(), expect_local)
+
+    # value on the collapsed base space (offset 0, field-sized array)
+    g_base = dmt.Function(W.spaces[1])
+    g_base.x.array[:] = 100.0 + np.arange(W.spaces[1].num_dofs)
+    bc = dmt.dirichletbc(g_base, qdofs_blocks, Wq)
+    assert np.allclose(bc.dof_values(), expect_local)
+
+    # value on the FULL mixed parent: bc dofs are already parent-global
+    g_par = dmt.Function(W)
+    g_par.x.array[:] = 100.0 + np.arange(W.num_dofs)
+    bc = dmt.dirichletbc(g_par, qdofs_blocks, Wq)
+    assert np.allclose(bc.dof_values(), 100.0 + bc.dofs)

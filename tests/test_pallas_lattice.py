@@ -200,27 +200,27 @@ def test_blocked_operator_matches_refined_dia():
     import os
 
     clf_b = _clf_p2(4)
+    # rebuild without the blocked layout
     os.environ["DMT_NO_BLOCKED"] = "1"
     try:
-        clf_d = _clf_p2.__wrapped__(4) if hasattr(_clf_p2, "__wrapped__") else None
+        mesh = create_unit_cube(4, 4, 4)
+        V = dmt.functionspace(mesh, ("Lagrange", 2))
+        bdofs = dmt.locate_dofs_geometrical(
+            V, lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], 1.0)
+        )
+        bc = dmt.dirichletbc(0.0, bdofs, V)
+        mpc = dmt.MultiPointConstraint(V, dtype=np.float32)
+        mpc.create_periodic_constraint_geometrical(
+            V, lambda x: np.isclose(x[0], 1.0),
+            lambda x: np.stack([1.0 - x[0], x[1], x[2]]), [bc],
+        )
+        mpc.finalize()
+        a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)),
+                             quad_degree=2)
+        clf_d = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32,
+                                        side_format="fold")
     finally:
-        pass
-    # rebuild without the blocked layout
-    mesh = create_unit_cube(4, 4, 4)
-    V = dmt.functionspace(mesh, ("Lagrange", 2))
-    bdofs = dmt.locate_dofs_geometrical(
-        V, lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], 1.0)
-    )
-    bc = dmt.dirichletbc(0.0, bdofs, V)
-    mpc = dmt.MultiPointConstraint(V, dtype=np.float32)
-    mpc.create_periodic_constraint_geometrical(
-        V, lambda x: np.isclose(x[0], 1.0),
-        lambda x: np.stack([1.0 - x[0], x[1], x[2]]), [bc],
-    )
-    mpc.finalize()
-    a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)), quad_degree=2)
-    clf_d = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32, side_format="fold")
-    del os.environ["DMT_NO_BLOCKED"]
+        del os.environ["DMT_NO_BLOCKED"]
     assert not clf_d._blocked_lean
     A_b = clf_b.assemble().dia.to_scipy()
     A_d = clf_d.assemble().dia.to_scipy()
