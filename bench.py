@@ -165,7 +165,8 @@ def _hier_code_hash():
     return h.hexdigest()[:12]
 
 
-def _load_or_build_hierarchy(make_level, n, degree, build_gmg_hierarchy, bs=1):
+def _load_or_build_hierarchy(make_level, n, degree, build_gmg_hierarchy, bs=1,
+                             levels=None):
     """Coarse GMG levels (levels 1+) from a keyed disk cache: each is a few
     MB of DIA data whose per-level host setup + remote assembly compile
     otherwise costs ~15 s of the bench wall clock.  Level 0 is ALWAYS
@@ -178,7 +179,8 @@ def _load_or_build_hierarchy(make_level, n, degree, build_gmg_hierarchy, bs=1):
     cache_dir = os.path.expanduser("~/.dmt_bench_cache")
     path = os.path.join(
         cache_dir,
-        f"gmgh_p{degree}{'' if bs == 1 else f'_bs{bs}'}_n{n}_{_hier_code_hash()}.npz")
+        f"gmgh_p{degree}{'' if bs == 1 else f'_bs{bs}'}_n{n}"
+        f"{'' if levels is None else '_pc%d' % len(levels)}_{_hier_code_hash()}.npz")
     if os.path.exists(path):
         z = np.load(path)
         nlev = int(z["nlev"])
@@ -213,7 +215,7 @@ def _load_or_build_hierarchy(make_level, n, degree, build_gmg_hierarchy, bs=1):
     # remote accelerator compile (~40-60 s); locally-compiled CPU assembly of
     # a <=300k-dof coarse operator takes seconds and is device_put once
     ops, masks = build_gmg_hierarchy(make_level, n, 4, min_n=8,
-                                     coarse_on_cpu=True)
+                                     coarse_on_cpu=True, levels=levels)
     if any(op._unassembled() or op.side_data.shape[0] for op in ops[1:]):
         return ops, masks  # non-lean levels carry side blocks: don't cache
     try:
@@ -322,13 +324,14 @@ def main():
     from dolfinx_mpc_tpu.fem.mesh import create_unit_cube
     from dolfinx_mpc_tpu.ops.lattice import assemble_matrix_lattice
 
-    def make_problem(m):
+    def make_problem(m, deg=None):
         """(mesh, V, bc, mpc, form) for size m — scalar Poisson (bs=1) or
         vector elasticity (bs=3, reference bench_elasticity_edge.py)."""
+        deg = degree if deg is None else deg
         mesh_m = create_unit_cube(m, m, m)
         shape = () if bs == 1 else (bs,)
-        V_m = dmt.functionspace(mesh_m, ("Lagrange", degree, shape) if bs > 1
-                                else ("Lagrange", degree))
+        V_m = dmt.functionspace(mesh_m, ("Lagrange", deg, shape) if bs > 1
+                                else ("Lagrange", deg))
         bdofs_m = dmt.locate_dofs_geometrical(
             V_m, lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], 1.0)
         )
@@ -342,7 +345,7 @@ def main():
         )
         if bs == 1:
             a_m = dmt.BilinearForm(V_m, lambda u, v, c: inner(grad(u), grad(v)),
-                                   quad_degree=degree)
+                                   quad_degree=deg)
         else:
             from dolfinx_mpc_tpu.fem.forms import conj, div, sym
 
@@ -351,7 +354,7 @@ def main():
                 V_m,
                 lambda u, v, c: 2 * mu * inner(sym(grad(u)), sym(grad(v)))
                 + lam * div(u) * conj(div(v)),
-                quad_degree=degree,
+                quad_degree=deg,
             )
         return mesh_m, V_m, bc_m, mpc_m, a_m
 
@@ -504,10 +507,11 @@ def main():
     try:
         from dolfinx_mpc_tpu.la.gmg import LatticeGMG, build_gmg_hierarchy
 
-        def make_level(m):
-            if m == n:
+        def make_level(lv):
+            deg_l, m = lv if isinstance(lv, tuple) else (degree, lv)
+            if m == n and deg_l == degree:
                 return clf  # reuse the finest-level compiled form (and its chunking)
-            _, V_l, bc_l, mpc_l, a_l = make_problem(m)
+            _, V_l, bc_l, mpc_l, a_l = make_problem(m, deg=deg_l)
             mpc_l.finalize()
             try:
                 return assemble_matrix_lattice(a_l, mpc_l, bcs=[bc_l], dtype=np.float32,
@@ -516,9 +520,22 @@ def main():
                 return assemble_matrix_lattice(a_l, mpc_l, bcs=[bc_l], dtype=np.float32,
                                                side_format="cells")
 
+        # degree 2: p-coarsen first — level 1 is the P1 operator on the SAME
+        # refined nodal grid (identity transfer), then h-coarsen P1.  Every
+        # coarse sweep then rides the 15/27-diagonal P1 SpMV instead of the
+        # 65-diagonal P2 one (measured 60ms of the 94.6ms n=64 V-cycle was
+        # coarse-level work in the h-P2 hierarchy, chain r3 18:48 step).
+        levels = None
+        if degree == 2 and bs == 1:
+            levels, m = [(2, n), (1, 2 * n)], n
+            while m >= 8 and m % 2 == 0:
+                levels.append((1, m))
+                m //= 2
+
         t0 = time.time()
         ops, masks = _load_or_build_hierarchy(make_level, n, degree,
-                                              build_gmg_hierarchy, bs=bs)
+                                              build_gmg_hierarchy, bs=bs,
+                                              levels=levels)
         ops[0] = A
         M = LatticeGMG(ops, free_masks=masks)
         log(f"GMG hierarchy ({len(ops)} levels): {time.time()-t0:.1f}s")

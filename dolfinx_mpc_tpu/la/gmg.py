@@ -198,7 +198,7 @@ class LatticeGMG:
 
 
 def build_gmg_hierarchy(make_compiled_form, n, n_levels, min_n=4,
-                        coarse_on_cpu=False):
+                        coarse_on_cpu=False, levels=None):
     """Build ([finest ... coarsest] LatticeOperators, free-dof masks) by
     re-discretization.
 
@@ -206,17 +206,30 @@ def build_gmg_hierarchy(make_compiled_form, n, n_levels, min_n=4,
     resolution n (same physics, bcs, and constraints regenerated
     geometrically on each level).
 
+    levels: optional explicit list of level descriptors passed verbatim to
+    make_compiled_form (finest first) — e.g. p-coarsening for degree 2,
+    where level 1 is the P1 operator on the SAME refined nodal grid
+    (identity transfer) followed by h-coarsened P1 levels.  When omitted,
+    levels are n, n/2, n/4, ... down to min_n.
+
     coarse_on_cpu assembles levels 1+ under the local CPU backend and
     device_puts the few-MB result: each coarse level otherwise pays a fresh
     accelerator compile of its assembly program (~40-60 s through a remote
     compile service) for an operator that takes seconds to build locally."""
     import os
 
+    if levels is None:
+        levels, nl = [], n
+        for _ in range(n_levels):
+            if nl < min_n:
+                break
+            levels.append(nl)
+            if nl % 2:
+                break  # odd level: no further 2:1 coarsening
+            nl >>= 1
+
     ops, masks = [], []
-    for l in range(n_levels):
-        nl = n >> l
-        if nl < min_n:
-            break
+    for l, lv in enumerate(levels):
         if coarse_on_cpu and l > 0:
             # XLA (non-pallas) path on host: Mosaic kernels don't lower on
             # the CPU backend, and the coarse op must be backend-portable
@@ -224,7 +237,7 @@ def build_gmg_hierarchy(make_compiled_form, n, n_levels, min_n=4,
             os.environ["DMT_NO_PALLAS"] = "1"
             try:
                 with jax.default_device(jax.devices("cpu")[0]):
-                    clf = make_compiled_form(nl)
+                    clf = make_compiled_form(lv)
                     op = clf.assemble()
             finally:
                 if prev is None:
@@ -233,7 +246,7 @@ def build_gmg_hierarchy(make_compiled_form, n, n_levels, min_n=4,
                     os.environ["DMT_NO_PALLAS"] = prev
             op = jax.device_put(op, jax.devices()[0])
         else:
-            clf = make_compiled_form(nl)
+            clf = make_compiled_form(lv)
             op = clf.assemble()
         ops.append(op)
         m = np.ones(clf.V.num_dofs, np.float32)
@@ -241,6 +254,4 @@ def build_gmg_hierarchy(make_compiled_form, n, n_levels, min_n=4,
         if clf.mpc is not None and clf.mpc.num_local_slaves:
             m[np.asarray(clf.mpc.slaves)] = 0.0
         masks.append(jnp.asarray(m))
-        if nl % 2:
-            break  # odd level: no further 2:1 coarsening — keep it as coarsest
     return ops, masks

@@ -88,3 +88,36 @@ def test_gmg_p2_hierarchy():
     for n, (itj, itg) in its.items():
         assert itg < itj / 2, f"n={n}: GMG {itg} vs Jacobi {itj}"
     assert its[16][1] <= max(its[8][1] * 2, 40), its
+
+
+def test_gmg_p2_p_coarsened_hierarchy():
+    """Degree-2 p-coarsening: level 1 is the P1 operator on the SAME refined
+    nodal grid (identity transfer — equal vshapes), then h-coarsened P1.
+    Converges FASTER than the h-P2 hierarchy (measured 15 vs 23 its at n=8,
+    20 vs 37 at n=16) while every coarse sweep rides the cheap 15/27-diagonal
+    P1 SpMV instead of the 65-diagonal P2 one."""
+    import jax.numpy as jnp
+
+    def make_level(lv):
+        deg, m = lv if isinstance(lv, tuple) else (2, lv)
+        return _make_deg(m, deg)[0]
+
+    for n in (8,):
+        clf, V = _make_deg(n, 2)
+        levels = [(2, n), (1, 2 * n)]
+        m = n
+        while m >= 4 and m % 2 == 0:
+            levels.append((1, m))
+            m //= 2
+        ops, masks = build_gmg_hierarchy(make_level, n, 4, levels=levels)
+        # level 1 shares the fine nodal grid: identity transfer
+        assert tuple(ops[0].dia.vshape) == tuple(ops[1].dia.vshape)
+        A = ops[0]
+        b = jnp.asarray(np.random.default_rng(2).standard_normal(V.num_dofs))
+        M = LatticeGMG(ops, free_masks=masks)
+        xg, itg, _ = cg(A.matvec, b, M=M, rtol=1e-10, max_it=200)
+        xj, itj, _ = cg(A.matvec, b, M=jacobi_preconditioner(A.diagonal()),
+                        rtol=1e-10, max_it=5000)
+        assert np.abs(np.asarray(xj) - np.asarray(xg)).max() < 1e-6
+        assert itg < itj / 3, (int(itg), int(itj))
+        assert itg <= 25, int(itg)
