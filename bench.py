@@ -123,26 +123,9 @@ def chain_diff(run_chain, k_lo, k_hi, label, floor=4e-3, k_max=4096):
 
 
 def _init_devices_retry(tries=10, sleep=30):
-    """The TPU tunnel throws transient UNAVAILABLE at backend init (observed
-    killing a round-3 chain step); jax caches init failures per process, so
-    clear backends between attempts."""
-    import jax
+    from dolfinx_mpc_tpu.utils.tunnel import init_devices_retry
 
-    for i in range(tries):
-        try:
-            return jax.devices()
-        except RuntimeError as e:
-            if "UNAVAILABLE" not in str(e) or i == tries - 1:
-                raise
-            log(f"TPU tunnel UNAVAILABLE at init (attempt {i + 1}/{tries}); "
-                f"retrying in {sleep}s")
-            try:
-                import jax.extend.backend as jeb
-
-                jeb.clear_backends()
-            except Exception:
-                pass
-            time.sleep(sleep)
+    return init_devices_retry(tries=tries, sleep=sleep, log=log)
 
 
 def _hier_code_hash():
@@ -160,7 +143,13 @@ def _hier_code_hash():
               # assembled entries — a change there must invalidate the cache
               "dolfinx_mpc_tpu/fem/elements.py",
               "dolfinx_mpc_tpu/fem/forms.py",
-              "dolfinx_mpc_tpu/fem/quadrature.py"):
+              "dolfinx_mpc_tpu/fem/quadrature.py",
+              # so do the mesh/dof layout, BC dof location, slave sets (baked
+              # into the cached free masks), and the assembler itself
+              "dolfinx_mpc_tpu/fem/mesh.py",
+              "dolfinx_mpc_tpu/fem/functionspace.py",
+              "dolfinx_mpc_tpu/multipointconstraint.py",
+              "dolfinx_mpc_tpu/ops/assemble.py"):
         h.update(open(os.path.join(base, p), "rb").read())
     return h.hexdigest()[:12]
 

@@ -18,24 +18,9 @@ def run(nb, nt, rtol, out, max_it=8000, cheb=False, seg=100, pc="amg",
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    # transient tunnel UNAVAILABLE at init killed a chain step once; retry
-    # (jax caches init failures, so clear backends between attempts)
-    for i in range(10):
-        try:
-            jax.devices()
-            break
-        except RuntimeError as e:
-            if "UNAVAILABLE" not in str(e) or i == 9:
-                raise
-            print(f"tunnel UNAVAILABLE at init (attempt {i + 1}/10); "
-                  "retrying in 30s", flush=True)
-            try:
-                import jax.extend.backend as jeb
+    from dolfinx_mpc_tpu.utils.tunnel import init_devices_retry
 
-                jeb.clear_backends()
-            except Exception:
-                pass
-            time.sleep(30)
+    init_devices_retry()
     import jax.numpy as jnp
 
     import dolfinx_mpc_tpu as dmt

@@ -220,7 +220,7 @@ def bell_from_scipy(A, R=8, C=128, mt_cap=None, mt_quantile=99.0,
     mt = mt_need
     if mt_cap is not None:
         mt = min(mt, int(mt_cap))
-    elif counts.size:
+    elif (counts > 0).any():  # all-zero matrix: skip (percentile on empty raises)
         mt = min(mt, max(int(np.percentile(counts[counts > 0], mt_quantile)), 1))
     mt = max(mt, 1)
     # rank of each unique tile within its block (uniq is (blk, tile)-sorted)

@@ -48,18 +48,35 @@ def _prolong1(c, axis):
     return out
 
 
-def _abs_rowsum(dia):
-    """|A| . 1 per row (the Gershgorin numerator), computed by running the
-    operator's own matvec on all-ones with |data| — works for both DIAMatrix
-    and the parity-blocked BlockDIAMatrix without duplicating placement
-    logic."""
-    ones = jnp.ones((dia.shape[0],), jnp.real(dia.data).dtype)
+def _abs_dia(dia):
     if hasattr(dia, "trips"):
-        absd = type(dia)(jnp.abs(dia.data), dia.trips, dia.vshape, dia.r3,
+        return type(dia)(jnp.abs(dia.data), dia.trips, dia.vshape, dia.r3,
                          dia.bs)
-    else:
-        absd = type(dia)(jnp.abs(dia.data), dia.offsets, dia.vshape, dia.bs)
-    return absd.matvec(ones)
+    return type(dia)(jnp.abs(dia.data), dia.offsets, dia.vshape, dia.bs)
+
+
+def _abs_rowsum(A):
+    """Upper bound on |A| . 1 per row (the Gershgorin numerator), computed by
+    running the operator's own matvec on all-ones with |data|.  Accepts a
+    LatticeOperator (fold-plane identification and MPC/BC side blocks are
+    included — all its matvec paths are additive gathers, so abs-ing every
+    data leaf yields entrywise >= |K^H A K| and the result bounds the true
+    row sum) or a bare DIAMatrix/BlockDIAMatrix.  The inv-diagonal used
+    against this comes from A.diagonal(), which carries the same fold/side
+    corrections — keeping numerator and denominator consistent (a dia-only
+    numerator under-estimated fold-plane rows by up to 2x, eroding the
+    omega*lmax < 2 smoother-stability margin)."""
+    if not hasattr(A, "dia"):
+        ones = jnp.ones((A.shape[0],), jnp.real(A.data).dtype)
+        return _abs_dia(A).matvec(ones)
+    _maybe_abs = lambda v: None if v is None else jnp.abs(v)
+    B = type(A)(
+        _abs_dia(A.dia), _maybe_abs(A.side_data), A.side_cols, A.side_rows,
+        A.side_nrows, side_Aep=_maybe_abs(A.side_Aep), side_er=A.side_er,
+        slaves=A.slaves, diagval=_maybe_abs(A.diagval),
+        fold_axis=A.fold_axis, fold_mask=A.fold_mask, fold_pairs=A.fold_pairs)
+    ones = jnp.ones((A.shape[0],), jnp.real(A.dia.data).dtype)
+    return B.matvec(ones)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -93,7 +110,7 @@ class LatticeGMG:
         if omega == "auto":
             oms = []
             for A, inv in zip(ops, self._inv_diag):
-                rs = _abs_rowsum(A.dia)
+                rs = _abs_rowsum(A)
                 lmax = float(jnp.max(jnp.abs(rs * inv)))
                 oms.append(1.6 / max(lmax, 2.0))
             self.omegas = tuple(oms)

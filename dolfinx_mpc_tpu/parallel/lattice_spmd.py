@@ -751,20 +751,21 @@ class ShardedLatticeProblem:
         n0, n1, n2 = self.vshape
         bs = self.bs
         xs = np.asarray(xs)  # (Dx, Dy, nxc+1, nyc+1, n2, bs)
-        full = np.zeros((n0, n1, n2, bs), xs.dtype)
-        for p in range(n0):
-            dx = min(p // self.nxc, self.Dx - 1)
-            lp = p - dx * self.nxc
-            if lp > self.nxc:  # beyond the last device's box: walk back
-                dx = (p - 1) // self.nxc
-                lp = p - dx * self.nxc
-            for q in range(n1):
-                dy = min(q // self.nyc, self.Dy - 1)
-                lq = q - dy * self.nyc
-                if lq > self.nyc:
-                    dy = (q - 1) // self.nyc
-                    lq = q - dy * self.nyc
-                full[p, q] = xs[dx, dy, lp, lq]
+
+        def owner(n, nc, D):
+            """(device, local-plane) per global plane along one axis —
+            vectorized (a python double loop here cost O(n0*n1) tiny copies,
+            seconds of host time at n=512)."""
+            p = np.arange(n)
+            d = np.minimum(p // nc, D - 1)
+            lp = p - d * nc
+            back = lp > nc  # beyond the last device's box: walk back
+            d = np.where(back, (p - 1) // nc, d)
+            return d, p - d * nc
+
+        dxs, lps = owner(n0, self.nxc, self.Dx)
+        dys, lqs = owner(n1, self.nyc, self.Dy)
+        full = xs[dxs[:, None], dys[None, :], lps[:, None], lqs[None, :]]
         u = full.reshape(-1)
         if self._bs_tabs is not None:
             sl, ma, co = self._bs_tabs

@@ -485,6 +485,12 @@ class ShardedLinearProblem:
             def pdot(u, v):
                 return jax.lax.psum(jnp.vdot(u, v), AXIS)
 
+            def pdot2(u1, v1, u2, v2):
+                # two inner products in ONE allreduce round
+                s = jax.lax.psum(
+                    jnp.stack([jnp.vdot(u1, v1), jnp.vdot(u2, v2)]), AXIS)
+                return s[0], s[1]
+
             gd = lrows_d + me * rpd
             diag_loc = jax.ops.segment_sum(
                 jnp.where((cols_d == gd) & valid_d, data_d, 0), lrows_d,
@@ -495,26 +501,31 @@ class ShardedLinearProblem:
             r = b_loc - matvec(x)
             z = inv * r
             p = z
-            rz = pdot(r, z)
+            rz, rr = pdot2(r, z, r, r)
             tol2 = rtol**2 * jnp.real(pdot(b_loc, b_loc))
 
+            # rr is CARRIED in the loop state (fused with the rz allreduce in
+            # the body), so each iteration costs exactly 2 collective rounds
+            # (p.Ap, then [r.z, r.r]) — a cond-side pdot(r, r) would add a
+            # third, +50% collective latency on multi-chip solves
             def cond(s):
-                _, r, _, _, _, k = s
-                return (jnp.real(pdot(r, r)) > tol2) & (k < max_it)
+                _, _, _, _, _, rr, k = s
+                return (jnp.real(rr) > tol2) & (k < max_it)
 
             def body(s):
-                x, r, z, p, rz, k = s
+                x, r, z, p, rz, _, k = s
                 Ap = matvec(p)
                 alpha = rz / pdot(p, Ap)
                 x = x + alpha * p
                 r = r - alpha * Ap
                 z = inv * r
-                rz_new = pdot(r, z)
+                rz_new, rr_new = pdot2(r, z, r, r)
                 p = z + (rz_new / rz) * p
-                return (x, r, z, p, rz_new, k + 1)
+                return (x, r, z, p, rz_new, rr_new, k + 1)
 
-            x, r, _, _, _, k = jax.lax.while_loop(cond, body, (x, r, z, p, rz, 0))
-            rnorm = jnp.sqrt(jnp.real(pdot(r, r)))
+            x, r, _, _, _, rr, k = jax.lax.while_loop(
+                cond, body, (x, r, z, p, rz, rr, 0))
+            rnorm = jnp.sqrt(jnp.real(rr))
             # gather the solution once at the end (the OUTPUT is global);
             # backsubstitution may reference remote masters
             xg = jax.lax.all_gather(x, AXIS, tiled=True)

@@ -167,7 +167,9 @@ class NonlinearProblem:
                 converged = True
                 break
             A = assemble_matrix(self._J, mpc, self.bcs, dtype=dtype)
-            du, _, _ = krylov_solve(A.matvec, rhs, self.options, diag=A.diagonal())
+            du, _, _ = krylov_solve(
+                A.matvec, rhs, self.options, diag=A.diagonal(), Aop=A,
+                bs=getattr(self.u.function_space, "block_size", 1))
             if mpc is not None:
                 du = mpc.finalized.backsubstitution(du)
             u.x.array[:] = np.asarray(uarr + du)
@@ -269,7 +271,10 @@ class NonlinearProblemNest:
 
             A = create_matrix_nest(self._J, self.mpcs)
             assemble_matrix_nest(A, self._J, self.mpcs, bcs=self.bcs)
-            du, _, _ = krylov_solve(A.matvec, rhs_all, self.options, diag=A.diagonal())
+            # Aop enables the AMG pc types on the Newton inner solve (nest
+            # blocks have mixed block sizes, so aggregate on the node graph)
+            du, _, _ = krylov_solve(A.matvec, rhs_all, self.options,
+                                    diag=A.diagonal(), Aop=A)
             off = 0
             for i in range(n):
                 dui = du[off : off + sizes[i]]

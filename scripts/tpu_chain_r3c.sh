@@ -31,6 +31,9 @@ step() {
   shift 2
   local attempt
   for attempt in 1 2 3; do
+    # host-idle gate: while /tmp/cpu_busy exists, another process owns the
+    # single host core (test runs) — bench host-setup timings need it idle
+    while [ -e /tmp/cpu_busy ]; do sleep 30; done
     wait_tunnel
     echo "===== STEP: $name attempt $attempt ($(date +%H:%M:%S)) =====" >> $L
     timeout "$to" "$@" > $S 2>&1
