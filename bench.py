@@ -526,8 +526,50 @@ def main():
                                               build_gmg_hierarchy, bs=bs,
                                               levels=levels)
         ops[0] = A
-        M = LatticeGMG(ops, free_masks=masks)
-        log(f"GMG hierarchy ({len(ops)} levels): {time.time()-t0:.1f}s")
+        # sidecar cache for the GMG scalars that each cost a remote compile
+        # (one-program Gershgorin bounds; dense coarse inverse): keyed like
+        # the hierarchy cache, so a kernel/code change invalidates both
+        xpath = os.path.join(
+            os.path.expanduser("~/.dmt_bench_cache"),
+            f"gmgx_p{degree}{'' if bs == 1 else f'_bs{bs}'}_n{n}"
+            f"{'' if levels is None else '_pc%d' % len(levels)}"
+            f"_{_hier_code_hash()}.npz")
+        gkw = {}
+        if os.path.exists(xpath):
+            zx = np.load(xpath)
+            gkw["bounds"] = [float(v) for v in zx["bounds"]]
+            if "coarse_inv" in zx:
+                gkw["coarse_inv"] = jnp.asarray(zx["coarse_inv"])
+            log(f"GMG bounds/coarse-inv from cache ({os.path.basename(xpath)})")
+        M = LatticeGMG(ops, free_masks=masks, **gkw)
+        if not gkw and M._bounds is not None:
+            try:
+                xtra = {"bounds": np.asarray(M._bounds, np.float64)}
+                if M.coarse_mode == "dense":
+                    xtra["coarse_inv"] = np.asarray(M.coarse_inv)
+                np.savez(xpath, **xtra)
+            except Exception as e:
+                log(f"gmg extras cache save failed ({e})")
+        log(f"GMG hierarchy ({len(ops)} levels): {time.time()-t0:.1f}s "
+            f"(coarse={M.coarse_mode}, omegas={[round(o, 3) for o in M.omegas]})")
+        # pallas==XLA on EVERY coarse level too (VERDICT r2 weak #6 applied
+        # to the V-cycle: a Mosaic bug at a coarse-level shape would corrupt
+        # the preconditioner with no fine-level check tripping)
+        if (jax.default_backend() not in ("cpu",)
+                and not os.environ.get("DMT_SKIP_EQCHECK")):
+            for l, op in enumerate(ops[1:], start=1):
+                xr_l = jax.random.normal(jax.random.PRNGKey(l), (op.shape[0],),
+                                         dtype=jnp.float32)
+                y_pl = jax.jit(lambda A_, x_: A_.matvec(x_))(op, xr_l)
+                os.environ["DMT_NO_PALLAS"] = "1"
+                try:
+                    y_xla = jax.jit(lambda A_, x_: A_.matvec(x_))(op, xr_l)
+                finally:
+                    del os.environ["DMT_NO_PALLAS"]
+                rel_l = (float(jnp.linalg.norm(y_pl - y_xla))
+                         / max(float(jnp.linalg.norm(y_xla)), 1e-30))
+                assert rel_l < 5e-5, f"GMG level {l} pallas SpMV diverges: {rel_l}"
+                log(f"  level {l} pallas==XLA SpMV rel {rel_l:.2e}")
     except Exception as e:
         log(f"GMG unavailable ({e}); Jacobi fallback")
         M = jacobi_preconditioner(A.diagonal())

@@ -79,6 +79,53 @@ def _abs_rowsum(A):
     return B.matvec(ones)
 
 
+def _gershgorin_bounds(ops, inv_diags):
+    """lmax(D^-1 A) upper bounds for every level, computed in ONE jitted
+    program (len(ops) matvecs + reductions).  Per-level EAGER computation
+    dispatched one tiny op at a time through the remote-compile tunnel and
+    dominated hierarchy setup (~40-60 s of compile chatter per level)."""
+
+    @jax.jit
+    def prog(ops_, invs_):
+        return jnp.stack([
+            jnp.max(jnp.abs(_abs_rowsum(A) * inv))
+            for A, inv in zip(ops_, invs_)
+        ])
+
+    return [float(v) for v in np.asarray(prog(tuple(ops), tuple(inv_diags)))]
+
+
+def dense_coarse_inverse(A, dtype=None):
+    """Materialize the coarsest operator densely (one jitted vmap-matvec
+    over the identity) and invert it in f64 on the host.  The result makes
+    the coarse solve a single dense matvec — exact, LINEAR, and symmetric,
+    which an inner fixed-iteration CG is NOT (a Krylov inner solve is a
+    nonlinear, slightly nonsymmetric preconditioner; measured V-cycle
+    asymmetry 1.5e-05 in f64 was survivable on CPU but stalled the bs=3
+    elasticity CG outright in f32 on TPU: 3000 its, rnorm 5e-2)."""
+    nd = A.shape[0]
+    dt = dtype or jnp.real(A.diagonal()).dtype
+
+    @jax.jit
+    def dense(A_):
+        return jax.vmap(A_.matvec)(jnp.eye(nd, dtype=dt))
+
+    C = np.asarray(dense(A), np.float64)
+    C = 0.5 * (C + C.T)  # exact symmetrization (f32 matvec roundoff)
+    try:
+        import scipy.linalg as sla
+
+        cf = sla.cho_factor(C)
+        inv = sla.cho_solve(cf, np.eye(nd))
+    except Exception:
+        # indefinite numerical noise: clip the spectrum instead of failing
+        w, Q = np.linalg.eigh(C)
+        w = np.maximum(w, 1e-12 * np.abs(w).max())
+        inv = (Q / w) @ Q.T
+    inv = 0.5 * (inv + inv.T)
+    return jnp.asarray(inv, dt)
+
+
 @jax.tree_util.register_pytree_node_class
 class LatticeGMG:
     """Symmetric V-cycle over a list of LatticeOperators (fine -> coarse).
@@ -86,10 +133,19 @@ class LatticeGMG:
     Registered as a pytree so it can be passed as a jit ARGUMENT: closing
     over it would embed the full multi-GB operator hierarchy as compile-time
     constants (the remote-compile tunnel rejects such payloads at 10M-dof
-    scale with HTTP 413)."""
+    scale with HTTP 413).
+
+    The whole cycle is a FIXED LINEAR SYMMETRIC operator — required for
+    plain CG.  Smoothing is weighted Jacobi with equal pre/post sweeps,
+    transfers satisfy R = P^T exactly, and the coarse solve is either a
+    precomputed dense inverse (coarsest <= dense_max dofs; one MXU matmul
+    per apply) or a fixed-degree Chebyshev polynomial — never an inner
+    Krylov iteration, which would make the preconditioner nonlinear and
+    break the outer CG (the round-3 bs=3 stall)."""
 
     def __init__(self, ops, n_pre=2, n_post=2, omega="auto", coarse_iters=30,
-                 free_masks=None):
+                 free_masks=None, coarse="auto", coarse_inv=None,
+                 dense_max=8192, cheb_degree=40, bounds=None):
         self.ops = ops
         self.n_pre, self.n_post = n_pre, n_post
         self.coarse_iters = coarse_iters
@@ -107,15 +163,34 @@ class LatticeGMG:
         # being an SPD preconditioner (CG stalls): Poisson has lmax = 2
         # (-> the classic 0.8), but P1 elasticity measures lmax = 3.71 and
         # a fixed 0.8 broke the bs=3 bench solve (3000 its, rnorm 1e-1).
+        need_bounds = omega == "auto" or coarse in ("auto", "chebyshev")
+        if bounds is None and need_bounds:
+            bounds = _gershgorin_bounds(ops, self._inv_diag)
+        self._bounds = bounds
         if omega == "auto":
-            oms = []
-            for A, inv in zip(ops, self._inv_diag):
-                rs = _abs_rowsum(A)
-                lmax = float(jnp.max(jnp.abs(rs * inv)))
-                oms.append(1.6 / max(lmax, 2.0))
-            self.omegas = tuple(oms)
+            self.omegas = tuple(1.6 / max(l, 2.0) for l in bounds)
         else:
             self.omegas = (float(omega),) * len(ops)
+        # coarse solve selection (see class docstring)
+        nc = ops[-1].shape[0]
+        if coarse == "auto":
+            coarse = "dense" if nc <= dense_max else "chebyshev"
+        self.coarse_mode = coarse
+        self.coarse_inv = None
+        self._cheb = None
+        if coarse == "dense":
+            self.coarse_inv = (coarse_inv if coarse_inv is not None
+                               else dense_coarse_inverse(ops[-1]))
+        elif coarse == "chebyshev":
+            # fixed-degree Chebyshev on [lmax/64, lmax] of D^-1 A: the
+            # residual polynomial is <= 1 on (0, lmin) so untargeted low
+            # modes are never amplified — the outer CG just works harder
+            lmax = 1.05 * max(bounds[-1], 1e-30)
+            lmin = lmax / 64.0
+            self._cheb = ((lmax + lmin) / 2.0, (lmax - lmin) / 2.0,
+                          int(cheb_degree))
+        elif coarse != "cg":
+            raise ValueError(f"unknown coarse mode {coarse!r}")
         # transfer shapes: grid dims between levels must satisfy n_f = 2*n_c
         for Af, Ac in zip(ops[:-1], ops[1:]):
             for nf, nc in zip(Af.dia.vshape, Ac.dia.vshape):
@@ -162,6 +237,35 @@ class LatticeGMG:
     def _coarse_solve(self, b):
         A = self.ops[-1]
         inv = self._inv_diag[-1]
+        if self.coarse_mode == "dense":
+            return self.coarse_inv @ b
+        if self.coarse_mode == "chebyshev":
+            # fixed polynomial in D^-1 A: linear + symmetric (wrt the D inner
+            # product composed with the Jacobi scaling), unlike inner CG
+            theta, delta, degree = self._cheb
+
+            def DA(x):
+                return inv * A.matvec(x)
+
+            rr = inv * b
+            x = rr / theta
+            res = rr - DA(x)
+            d = res / theta
+            sigma = theta / delta
+            rho = 1.0 / sigma
+
+            def body(_, s):
+                x, res, d, rho = s
+                rho_new = 1.0 / (2 * sigma - rho)
+                d = rho_new * rho * d + 2 * rho_new / delta * res
+                x = x + d
+                res = res - DA(d)
+                return (x, res, d, rho_new)
+
+            x, *_ = jax.lax.fori_loop(0, degree - 1, body, (x, res, d, rho))
+            return x
+        # legacy inner-CG coarse solve (coarse="cg"): NONLINEAR — only valid
+        # under a flexible outer Krylov method
         x = jnp.zeros_like(b)
         r = b
         z = inv * r
@@ -202,15 +306,18 @@ class LatticeGMG:
         return self._vcycle(0, r)
 
     def tree_flatten(self):
-        ch = (self.ops, self.free_masks, self._inv_diag)
-        aux = (self.n_pre, self.n_post, self.omegas, self.coarse_iters)
+        ch = (self.ops, self.free_masks, self._inv_diag, self.coarse_inv)
+        aux = (self.n_pre, self.n_post, self.omegas, self.coarse_iters,
+               self.coarse_mode, self._cheb)
         return ch, aux
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
         obj = cls.__new__(cls)
-        obj.ops, obj.free_masks, obj._inv_diag = ch
-        obj.n_pre, obj.n_post, obj.omegas, obj.coarse_iters = aux
+        obj.ops, obj.free_masks, obj._inv_diag, obj.coarse_inv = ch
+        (obj.n_pre, obj.n_post, obj.omegas, obj.coarse_iters,
+         obj.coarse_mode, obj._cheb) = aux
+        obj._bounds = None
         return obj
 
 
