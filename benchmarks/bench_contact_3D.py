@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def run(nb, nt, rtol, out, max_it=8000, cheb=False, seg=100, pc="amg",
-        bell=True):
+        fmt="ell"):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -81,19 +81,29 @@ def run(nb, nt, rtol, out, max_it=8000, cheb=False, seg=100, pc="amg",
 
     # the reference solves this with GAMG (bench_contact_3D.py:186-213);
     # smoothed-aggregation AMG (la/amg.py) is the TPU counterpart, and the
-    # BELL tile format (la/bell.py) replaces the scalar segment_sum SpMV
+    # node-block-ELL format (la/ell.py, 97% fill for this sparsity) replaces
+    # the scalar segment_sum SpMV.  The ELL fine op is SHARED with the AMG
+    # fine level — one HBM copy (8x128 BELL tiles needed 4.8 GiB of padding
+    # here and OOM'd at 1M dofs).
     t0 = time.time()
     As = A.to_scipy()
+    Aop = A
+    if fmt == "ell":
+        from dolfinx_mpc_tpu.la.ell import ell_from_scipy
+
+        Aop = ell_from_scipy(As, br=3, k_quantile=99.5, dtype=np.float32)
+        del A
+    elif fmt == "bell":
+        from dolfinx_mpc_tpu.la.bell import bell_from_scipy
+
+        Aop = bell_from_scipy(As, dtype=np.float32)
     M = None
     if pc == "amg":
         from dolfinx_mpc_tpu.la.amg import smoothed_aggregation_amg
 
-        M = smoothed_aggregation_amg(As, bs=3, dtype=np.float32)
-    Aop = A
-    if bell:
-        from dolfinx_mpc_tpu.la.bell import bell_from_scipy
-
-        Aop = bell_from_scipy(As, dtype=np.float32)
+        M = smoothed_aggregation_amg(
+            As, bs=3, dtype=np.float32,
+            fine_op=Aop if fmt == "ell" else None)
     timings["pc+format setup"] = time.time() - t0
 
     x, its, rn = cg_segmented(Aop, b, M=M, rtol=rtol, max_it=max_it, seg=seg)
@@ -126,9 +136,9 @@ if __name__ == "__main__":
     p.add_argument("--cheb", action="store_true")
     p.add_argument("--seg", type=int, default=100, help="CG iterations per device dispatch")
     p.add_argument("--pc", choices=["amg", "jacobi"], default="amg")
-    p.add_argument("--no-bell", action="store_true",
-                   help="keep the CSR segment_sum SpMV instead of BELL tiles")
+    p.add_argument("--format", choices=["ell", "bell", "csr"], default="ell",
+                   help="device SpMV format for the fine operator")
     p.add_argument("--out", default="results_bench_contact.txt")
     args = p.parse_args()
     run(args.nb, args.nt, args.rtol, args.out, max_it=args.max_it, cheb=args.cheb,
-        seg=args.seg, pc=args.pc, bell=not args.no_bell)
+        seg=args.seg, pc=args.pc, fmt=args.format)

@@ -15,6 +15,20 @@ from .native import install_hugepage_allocator as _ihp
 
 _ihp()
 
+# Full-precision matmuls, package-wide.  The TPU MXU computes f32
+# dot_generals with bf16 multiplies at Precision.DEFAULT (~4e-3 relative
+# noise).  FEM at f32 cannot absorb that: CG's alpha/beta come from vdots
+# of ~1M-long vectors every iteration (measured: the 824k-dof bs=3
+# elasticity GMG-CG that converges in 42 its on XLA:CPU stalls at 3000 its /
+# rnorm 5e-2 on XLA:TPU with default precision), and the general assembler's
+# conj(T)^T A_e T einsums would bake the same noise into matrix ENTRIES.
+# The hot paths (stencil/ELL SpMV, pallas kernels) are elementwise VPU ops
+# and don't touch this; what does — CG dots, dense coarse solves, element
+# transform contractions — needs exact f32.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .fem import cells, forms, mesh
 from .fem.forms import BilinearForm, Form, LinearForm, derivative
 from .fem.functionspace import (

@@ -168,14 +168,17 @@ def _rho_dinv_a(A, n_iter=10, seed=1):
     return float(rho) * 1.05
 
 
-def _to_device_op(A, dtype, bell_min=32768):
-    """scipy -> device operator: BELL on TPU for large matrices, CSR else."""
-    from .bell import bell_from_scipy
+def _to_device_op(A, dtype, bs=1, ell_min=4096):
+    """scipy -> device operator: block-ELL on TPU for large matrices, CSR
+    else.  ELL replaced the 8x128 BELL tiles here: elasticity sparsity fills
+    BELL tiles at ~3.4% (4.8 GiB of padding for the 177 MB 1M-dof contact
+    fine level -> RESOURCE_EXHAUSTED) vs ~97% for node-block ELL."""
+    from .ell import ell_from_scipy
     from .sparse import CSRMatrix
 
-    big = max(A.shape) >= bell_min
+    big = max(A.shape) >= ell_min
     if big and jax.default_backend() in ("tpu", "axon"):
-        return bell_from_scipy(A, dtype=dtype)
+        return ell_from_scipy(A, br=bs, dtype=dtype, k_quantile=99.5)
     A = A.tocsr()
     row_ids = np.repeat(np.arange(A.shape[0], dtype=np.int32),
                         np.diff(A.indptr))
@@ -187,13 +190,17 @@ def _to_device_op(A, dtype, bell_min=32768):
 
 def smoothed_aggregation_amg(
     A, bs=1, theta=0.08, max_levels=12, coarse_size=800,
-    n_smooth=3, dtype=np.float32, seed=0,
+    n_smooth=3, dtype=np.float32, seed=0, fine_op=None,
 ):
     """Build an AMG preconditioner from a scipy sparse matrix (or any
     operator exposing .to_scipy()).
 
     bs: dof block size (3 for 3D elasticity) — aggregation runs on the node
-    graph and the tentative prolongator is expanded per component."""
+    graph and the tentative prolongator is expanded per component.
+
+    fine_op: optional pre-built device operator for the FINE level (the
+    caller's CG matvec operator is the same matrix — sharing it halves the
+    fine-level HBM footprint)."""
     import scipy.sparse as sp
 
     if hasattr(A, "to_scipy"):
@@ -236,10 +243,12 @@ def smoothed_aggregation_amg(
         lvl += 1
 
     ops.append(Al)
-    # device conversion
-    dev_ops = [_to_device_op(a, dtype) for a in ops[:-1]]
-    dev_P = [_to_device_op(p, dtype) for p in Ps]
-    dev_R = [_to_device_op(r, dtype) for r in Rs]
+    # device conversion; the fine level is the caller's CG operator — share
+    # it when provided instead of holding a second HBM copy
+    dev_ops = [fine_op if (i == 0 and fine_op is not None)
+               else _to_device_op(a, dtype, bs) for i, a in enumerate(ops[:-1])]
+    dev_P = [_to_device_op(p, dtype, bs) for p in Ps]
+    dev_R = [_to_device_op(r, dtype, bs) for r in Rs]
     inv_diag = [jnp.asarray(np.where(a.diagonal() != 0, 1.0 / a.diagonal(), 0.0)
                             .astype(dtype)) for a in ops[:-1]]
     # explicit dense inverse of the coarsest level (applied as one device
@@ -265,7 +274,7 @@ def smoothed_aggregation_amg(
         # dense inverse would be O(nC^2) memory, so terminate the V-cycle
         # with Chebyshev smoothing on that level instead.
         d = ops[-1].diagonal()
-        dev_ops.append(_to_device_op(ops[-1], dtype))
+        dev_ops.append(_to_device_op(ops[-1], dtype, bs))
         inv_diag.append(jnp.asarray(
             np.where(d != 0, 1.0 / d, 0.0).astype(dtype)))
         chebs.append(_rho_dinv_a(ops[-1]))
@@ -324,7 +333,11 @@ class AMG:
     def _vcycle(self, lvl, b):
         if lvl == len(self.Ps):
             if self.coarse_inv is not None:
-                return self.coarse_inv @ b
+                # HIGHEST precision: MXU bf16 multiplies would inject ~4e-3
+                # noise into the coarse solve and break the preconditioner's
+                # symmetry (see LatticeGMG._coarse_solve)
+                return jnp.matmul(self.coarse_inv, b,
+                                  precision=jax.lax.Precision.HIGHEST)
             # no dense coarse inverse (coarsest level too large):
             # approximate the coarse solve with two Chebyshev sweeps
             x = self._smooth(lvl, jnp.zeros_like(b), b)

@@ -238,7 +238,12 @@ class LatticeGMG:
         A = self.ops[-1]
         inv = self._inv_diag[-1]
         if self.coarse_mode == "dense":
-            return self.coarse_inv @ b
+            # HIGHEST precision: the TPU MXU's default bf16 multiplies put
+            # ~4e-3 relative noise into the coarse solve, which breaks the
+            # preconditioner's symmetry/PD-ness and NaN'd the bs=3
+            # elasticity CG at iteration 220 (chain r3d)
+            return jnp.matmul(self.coarse_inv, b,
+                              precision=jax.lax.Precision.HIGHEST)
         if self.coarse_mode == "chebyshev":
             # fixed polynomial in D^-1 A: linear + symmetric (wrt the D inner
             # product composed with the Jacobi scaling), unlike inner CG

@@ -117,7 +117,10 @@ class DIAMatrix:
                 # CUDA backend must fall back to the XLA path, not fail at
                 # lowering (ADVICE r2)
                 and jax.default_backend() in ("tpu", "axon")
-                and not _os.environ.get("DMT_NO_PALLAS")):
+                and not _os.environ.get("DMT_NO_PALLAS")
+                # SpMV-only opt-out: isolates solve-path issues from the
+                # pallas assembler when bisecting on hardware
+                and not _os.environ.get("DMT_NO_PALLAS_SPMV")):
             from .pallas_lattice import (dia_matvec_supported,
                                          make_dia_matvec_bs_pallas,
                                          make_dia_matvec_pallas)
@@ -272,7 +275,8 @@ class BlockDIAMatrix:
         if (self.data.dtype == jnp.float32 and x.dtype == jnp.float32
                 and s0 * s1 * s2 >= 16384
                 and jax.default_backend() in ("tpu", "axon")
-                and not _os.environ.get("DMT_NO_PALLAS")):
+                and not _os.environ.get("DMT_NO_PALLAS")
+                and not _os.environ.get("DMT_NO_PALLAS_SPMV")):
             from .pallas_lattice import make_blocked_matvec_pallas
 
             mv = make_blocked_matvec_pallas(self.trips, self.vshape, self.r3)
