@@ -118,6 +118,8 @@ def run(nb, nt, rtol, out, max_it=8000, cheb=False, seg=100, pc="amg",
     timings["backsubstitution"] = time.time() - t0
 
     print(f"dofs={V.num_dofs} slaves={mpc.num_local_slaves} its={int(its)} rnorm={float(rn):.2e}")
+    assert np.isfinite(float(rn)) and np.isfinite(np.asarray(u)).all(), \
+        "non-finite solve"
     for k, v in timings.items():
         print(f"  ~MPC: {k}: {v:.4f}s")
     if out:

@@ -108,7 +108,16 @@ class DIAMatrix:
         # HBM roofline
         import os as _os
 
-        if (bs <= 3 and self.data.dtype == jnp.float32
+        # bs>1 pallas SpMV is opt-in (DMT_BS_PALLAS_SPMV=1): when fused into
+        # large composed programs (the monolithic GMG V-cycle) Mosaic
+        # miscompiles it — deterministic wrong planes, 6.8% rel error vs the
+        # same stages jitted separately (scripts/probe_bs3_{pairs,levels,
+        # variants}.py, 2026-08-18; operand/stage optimization_barriers and
+        # coarse-solve barriers do NOT fix it).  Standalone it only matches
+        # XLA speed anyway (1.52 vs 1.60 ms at 824k dofs), so XLA is the
+        # production bs>1 path.
+        bs_pallas_ok = bs == 1 or bool(_os.environ.get("DMT_BS_PALLAS_SPMV"))
+        if (bs <= 3 and bs_pallas_ok and self.data.dtype == jnp.float32
                 and x.dtype == jnp.float32  # f64/complex x: XLA path keeps
                 # the promoted dtype; the pallas kernel would silently
                 # downcast (ADVICE r2)
@@ -272,9 +281,13 @@ class BlockDIAMatrix:
 
         s0, s1, s2 = self.cdims
         xb = self._to_blocked(x)
+        # opt-in only: same monolithic-program Mosaic miscompile risk as the
+        # bs>1 DIA kernel (see DIAMatrix.matvec), and only ~5% faster than
+        # the XLA slice-add path at 824k dofs
         if (self.data.dtype == jnp.float32 and x.dtype == jnp.float32
                 and s0 * s1 * s2 >= 16384
                 and jax.default_backend() in ("tpu", "axon")
+                and _os.environ.get("DMT_BS_PALLAS_SPMV")
                 and not _os.environ.get("DMT_NO_PALLAS")
                 and not _os.environ.get("DMT_NO_PALLAS_SPMV")):
             from .pallas_lattice import make_blocked_matvec_pallas

@@ -18,6 +18,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
+
+if os.environ.get("PROBE_CPU"):  # sitecustomize pins JAX_PLATFORMS=axon;
+    jax.config.update("jax_platforms", "cpu")  # env overrides don't work
 import jax.numpy as jnp
 
 import dolfinx_mpc_tpu as dmt
