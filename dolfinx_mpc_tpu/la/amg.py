@@ -152,20 +152,50 @@ def _aggregate(S, seed=0):
     return relabel[agg], na
 
 
-def _rho_dinv_a(A, n_iter=10, seed=1):
-    """Power-iteration estimate of rho(D^-1 A) (host, scipy matvecs)."""
+def _rho_dinv_a(A, n_iter=30, seed=1):
+    """Upper estimate of rho(D^-1 A) = lambda_max(D^-1/2 A D^-1/2): Lanczos
+    on the symmetrized operator with a Gershgorin safety cap.
+
+    The Chebyshev smoother DIVERGES on any mode above its `hi` bound, so an
+    underestimate is a correctness bug, not a quality knob: the original
+    10-step power iteration (1.05 margin) undershot lambda_max on the 74k-dof
+    f32 contact operator and the compounded V-cycle amplification drove CG to
+    NaN at it=48 (same failure class as the lattice GMG's fixed omega=0.8).
+    Lanczos converges to the extreme eigenvalue far faster than the power
+    method on clustered spectra; min(1.1x Lanczos, Gershgorin) keeps the
+    bound >= lambda_max without the Gershgorin bound's 2x pessimism."""
     d = A.diagonal()
     dinv = np.where(d != 0, 1.0 / d, 0.0)
-    x = np.random.default_rng(seed).standard_normal(A.shape[0])
-    rho = 1.0
-    for _ in range(n_iter):
-        x = dinv * (A @ x)
-        nrm = np.linalg.norm(x)
-        if nrm == 0:
-            return 1.0
-        rho = nrm
-        x /= nrm
-    return float(rho) * 1.05
+    # Gershgorin row bound of D^-1 A: a guaranteed upper bound on rho
+    absA = abs(A)
+    gersh = float((np.abs(dinv) * np.ravel(absA.sum(axis=1))).max())
+    if gersh == 0.0:
+        return 1.0
+    # Lanczos on D^-1/2 A D^-1/2 (same spectrum, symmetric -> tridiagonal
+    # Ritz values are tight lower bounds on lambda_max)
+    sq = np.sqrt(np.abs(dinv))
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(A.shape[0])
+    v /= np.linalg.norm(v)
+    alphas, betas = [], []
+    v_prev = np.zeros_like(v)
+    beta = 0.0
+    for _ in range(min(n_iter, A.shape[0])):
+        w = sq * (A @ (sq * v)) - beta * v_prev
+        alpha = float(v @ w)
+        w -= alpha * v
+        alphas.append(alpha)
+        beta = float(np.linalg.norm(w))
+        if beta < 1e-12:
+            break
+        betas.append(beta)
+        v_prev, v = v, w / beta
+    T = np.diag(alphas)
+    if betas:
+        k = len(alphas)
+        T = T + np.diag(betas[: k - 1], 1) + np.diag(betas[: k - 1], -1)
+    lmax = float(np.linalg.eigvalsh(T).max()) if len(alphas) else 1.0
+    return float(min(max(lmax, 1e-12) * 1.1, gersh))
 
 
 def _to_device_op(A, dtype, bs=1, ell_min=4096):
