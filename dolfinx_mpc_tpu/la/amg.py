@@ -162,8 +162,13 @@ def _rho_dinv_a(A, n_iter=30, seed=1):
     f32 contact operator and the compounded V-cycle amplification drove CG to
     NaN at it=48 (same failure class as the lattice GMG's fixed omega=0.8).
     Lanczos converges to the extreme eigenvalue far faster than the power
-    method on clustered spectra; min(1.1x Lanczos, Gershgorin) keeps the
-    bound >= lambda_max without the Gershgorin bound's 2x pessimism."""
+    method on clustered spectra, but Ritz values are still LOWER bounds, so
+    the 1.1x margin on top of 30 Lanczos steps is a heuristic, not a
+    guarantee; the Gershgorin min only prevents over-estimation.  The
+    caller stacks another 1.1x at the Chebyshev `hi` (smoothed_aggregation_
+    amg: cheb = 1.1*rho), giving ~1.21x total margin over the Ritz value —
+    no failure observed across the contact/elasticity operators since the
+    Lanczos switch."""
     d = A.diagonal()
     dinv = np.where(d != 0, 1.0 / d, 0.0)
     # Gershgorin row bound of D^-1 A: a guaranteed upper bound on rho

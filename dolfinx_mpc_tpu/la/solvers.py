@@ -351,21 +351,31 @@ def cg_segmented(Aop, b, M=None, rtol=1e-8, atol=1e-12, max_it=10000, seg=150):
 
 
 def solve(A: Callable, b, options: SolverOptions, diag=None, x0=None,
-          Aop=None, bs=1):
+          Aop=None, bs=1, Pop=None):
     """Dispatch on SolverOptions; returns (x, its, rnorm).
 
     Aop: the assembled operator (anything with .to_scipy()) — required for
-    the algebraic-multigrid pc types; bs is its dof block size."""
+    the algebraic-multigrid pc types; bs is its dof block size.
+
+    Pop: optional separate PRECONDITIONER operator (the assembled `P` form
+    of the reference's LinearProblem, problem.py:539-558): when given, the
+    jacobi/chebyshev/amg preconditioners are built from Pop instead of the
+    system operator — A is still the operator CG/GMRES iterates on."""
+    if Pop is not None:
+        pc_src, pc_diag, pc_mv = Pop, Pop.diagonal(), Pop.matvec
+    else:
+        pc_src, pc_diag, pc_mv = Aop, diag, A
     M = None
-    if options.pc_type == "jacobi" and diag is not None:
-        M = jacobi_preconditioner(diag)
-    elif options.pc_type == "chebyshev" and diag is not None:
-        M = chebyshev_preconditioner(A, diag, degree=options.cheb_degree)
+    if options.pc_type == "jacobi" and pc_diag is not None:
+        M = jacobi_preconditioner(pc_diag)
+    elif options.pc_type == "chebyshev" and pc_diag is not None:
+        M = chebyshev_preconditioner(pc_mv, pc_diag, degree=options.cheb_degree)
     elif options.pc_type in ("gamg", "amg", "hypre", "boomeramg"):
-        if Aop is not None:
+        if pc_src is not None:
             from .amg import smoothed_aggregation_amg
 
-            M = smoothed_aggregation_amg(Aop, bs=bs, dtype=np.asarray(b).dtype)
+            M = smoothed_aggregation_amg(pc_src, bs=bs,
+                                         dtype=np.asarray(b).dtype)
         elif diag is not None:
             # AMG needs the assembled operator; fall back loudly to Jacobi
             # rather than silently running unpreconditioned CG

@@ -110,16 +110,17 @@ class DIAMatrix:
         # HBM roofline
         import os as _os
 
-        # bs>1 pallas SpMV is opt-in (DMT_BS_PALLAS_SPMV=1): when fused into
-        # large composed programs (the monolithic GMG V-cycle) Mosaic
+        # bs>1 pallas SpMV was REMOVED from dispatch (round 4): when fused
+        # into large composed programs (the monolithic GMG V-cycle) Mosaic
         # miscompiles it — deterministic wrong planes, 6.8% rel error vs the
         # same stages jitted separately (scripts/probe_bs3_{pairs,levels,
         # variants}.py, 2026-08-18; operand/stage optimization_barriers and
-        # coarse-solve barriers do NOT fix it).  Standalone it only matches
-        # XLA speed anyway (1.52 vs 1.60 ms at 824k dofs), so XLA is the
-        # production bs>1 path.
-        bs_pallas_ok = bs == 1 or bool(_os.environ.get("DMT_BS_PALLAS_SPMV"))
-        if (bs <= 3 and bs_pallas_ok and self.data.dtype == jnp.float32
+        # coarse-solve barriers do NOT fix it), and a standalone equality
+        # check passes, so no runtime gate can catch the composed failure.
+        # Standalone it only matched XLA speed anyway (1.52 vs 1.60 ms at
+        # 824k dofs).  The kernel itself stays in pallas_lattice.py for the
+        # Mosaic repro probes (scripts/probe_bs3_bisect.py).
+        if (bs == 1 and self.data.dtype == jnp.float32
                 and x.dtype == jnp.float32  # f64/complex x: XLA path keeps
                 # the promoted dtype; the pallas kernel would silently
                 # downcast (ADVICE r2)
@@ -133,15 +134,10 @@ class DIAMatrix:
                 # pallas assembler when bisecting on hardware
                 and not _os.environ.get("DMT_NO_PALLAS_SPMV")):
             from .pallas_lattice import (dia_matvec_supported,
-                                         make_dia_matvec_bs_pallas,
                                          make_dia_matvec_pallas)
 
-            if bs == 1 and dia_matvec_supported(self.offsets, self.vshape, bs):
+            if dia_matvec_supported(self.offsets, self.vshape, bs):
                 mv = make_dia_matvec_pallas(self.offsets, self.vshape)
-                return mv(self.data, x.astype(jnp.float32))
-            if (bs > 1 and n2 > 1
-                    and all(abs(di) <= 2 for di, _, _ in self.offsets)):
-                mv = make_dia_matvec_bs_pallas(self.offsets, self.vshape, bs)
                 return mv(self.data, x.astype(jnp.float32))
         # (bs, n0, n1, n2) component-major grids: every op below is a static
         # slice + FMA — no einsum (a bs=1 einsum lowers to batched 1x1
@@ -283,20 +279,12 @@ class BlockDIAMatrix:
 
         s0, s1, s2 = self.cdims
         xb = self._to_blocked(x)
-        # opt-in only: same monolithic-program Mosaic miscompile risk as the
-        # bs>1 DIA kernel (see DIAMatrix.matvec), and only ~5% faster than
-        # the XLA slice-add path at 824k dofs
-        if (self.data.dtype == jnp.float32 and x.dtype == jnp.float32
-                and s0 * s1 * s2 >= 16384
-                and jax.default_backend() in ("tpu", "axon")
-                and _os.environ.get("DMT_BS_PALLAS_SPMV")
-                and not _os.environ.get("DMT_NO_PALLAS")
-                and not _os.environ.get("DMT_NO_PALLAS_SPMV")):
-            from .pallas_lattice import make_blocked_matvec_pallas
-
-            mv = make_blocked_matvec_pallas(self.trips, self.vshape, self.r3)
-            if mv is not None:
-                return self._from_blocked(mv(self.data, xb))
+        # NOTE: the pallas blocked matvec was removed from dispatch (round
+        # 4): same monolithic-program Mosaic miscompile class as the bs>1
+        # DIA kernel (see DIAMatrix.matvec), only ~5% faster than the XLA
+        # slice-add path at 824k dofs, and no runtime gate can catch the
+        # composed-program failure.  The kernel stays in pallas_lattice.py
+        # for standalone Mosaic repro probes.
         cls_id = {c: i for i, c in enumerate(self.classes)}
         if _os.environ.get("DMT_BLOCKED_RMW"):
             # legacy read-modify-write path (kept for bisecting): 230

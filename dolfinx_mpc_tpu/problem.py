@@ -50,6 +50,7 @@ class LinearProblem:
         self.u = u if u is not None else Function(a.test_space, dtype=mpc.dtype if mpc else np.float64)
         self.options = SolverOptions.from_petsc(petsc_options)
         self._P = P
+        self._P_mat = None
         self._A = None
         self._b = None
         self.its = -1
@@ -57,27 +58,33 @@ class LinearProblem:
     def assemble(self):
         dtype = self.mpc.dtype if self.mpc is not None else np.float64
         self._A = self._assemble_A(dtype)
+        # separate preconditioner operator (reference problem.py:539-558):
+        # assembled with the SAME MPC elimination and BCs as A, used to
+        # build the pc in solve() while CG/GMRES still iterates on A
+        if self._P is not None:
+            self._P_mat = self._assemble_A(dtype, form=self._P)
         b = assemble_vector(self._L, self.mpc, dtype=dtype)
         b = apply_lifting(b, [self._a], [self.bcs], self.mpc, dtype=dtype)
         self._b = set_bc(b, self.bcs)
         return self._A, self._b
 
-    def _assemble_A(self, dtype):
+    def _assemble_A(self, dtype, form=None):
         """Prefer the scatter-free lattice fast path (structured box meshes,
         P1 cell forms); fall back to the general slot-CSR assembler."""
+        a = self._a if form is None else form
         try:
             from .ops.lattice import assemble_matrix_lattice, get_lattice_info
 
-            if get_lattice_info(self._a.test_space.mesh) is None:
+            if get_lattice_info(a.test_space.mesh) is None:
                 raise ValueError
             key = ("lattice_clf", id(self.mpc), tuple(id(bc) for bc in self.bcs), np.dtype(dtype).str)
-            cache = self._a.__dict__.setdefault("_compiled_cache", {})
+            cache = a.__dict__.setdefault("_compiled_cache", {})
             clf = cache.get(key)
             if clf is None:
                 for fmt in ("fold", "cells"):
                     try:
                         clf = assemble_matrix_lattice(
-                            self._a, self.mpc, bcs=self.bcs, dtype=dtype, side_format=fmt
+                            a, self.mpc, bcs=self.bcs, dtype=dtype, side_format=fmt
                         )
                         break
                     except (ValueError, AssertionError):
@@ -88,7 +95,7 @@ class LinearProblem:
                 cache.setdefault("_refs", []).append((self.mpc, tuple(self.bcs)))
             return clf.assemble()
         except (ValueError, AssertionError):
-            return assemble_matrix(self._a, self.mpc, self.bcs, dtype=dtype)
+            return assemble_matrix(a, self.mpc, self.bcs, dtype=dtype)
 
     @property
     def A(self):
@@ -105,7 +112,8 @@ class LinearProblem:
         with timed("~MPC: Solve linear problem"):
             x, its, rnorm = krylov_solve(
                 A.matvec, b, self.options, diag=A.diagonal(), Aop=A,
-                bs=getattr(self.u.function_space, "block_size", 1))
+                bs=getattr(self.u.function_space, "block_size", 1),
+                Pop=self._P_mat)
         self.its = int(its)
         self.rnorm = float(rnorm)
         if self.mpc is not None:
@@ -132,6 +140,8 @@ class NonlinearProblem:
         rtol: float = 1e-10,
         atol: float = 1e-10,
         max_it: int = 50,
+        line_search: str = "bt",
+        max_backtracks: int = 8,
     ):
         if mpc is not None and mpc.finalized is None:
             raise RuntimeError("The multi point constraint has to be finalized before calling initializer")
@@ -143,6 +153,27 @@ class NonlinearProblem:
         self.bcs = bcs or []
         self.options = SolverOptions.from_petsc(petsc_options)
         self.rtol, self.atol, self.max_it = rtol, atol, max_it
+        # "bt" = backtracking Armijo on ||F|| (the reference's SNES default
+        # is newtonls with bt, problem.py:159-350); "none" = full-step Newton
+        if line_search not in ("bt", "none"):
+            raise ValueError(f"unknown line_search {line_search!r}")
+        self.line_search = line_search
+        self.max_backtracks = max_backtracks
+
+    def _residual(self, dtype):
+        """Enforce the constraint on the CURRENT iterate (homogenize +
+        backsubstitute, the reference's assemble_residual_mpc semantics,
+        problem.py:90-156), then assemble the negated/lifted/bc-set residual.
+        Returns (rhs, ||rhs||)."""
+        mpc, u = self.mpc, self.u
+        if mpc is not None:
+            mpc.homogenize(u)
+            mpc.backsubstitution(u)
+        rhs = -assemble_vector(self._F, mpc, dtype=dtype)
+        uarr = jnp.asarray(u.x.array)
+        rhs = apply_lifting(rhs, [self._J], [self.bcs], mpc, x0=uarr, scale=1.0, dtype=dtype)
+        rhs = set_bc(rhs, self.bcs, x0=uarr, scale=1.0)
+        return rhs, float(jnp.linalg.norm(rhs))
 
     def solve(self):
         """Returns (num_newton_iterations, converged)."""
@@ -151,18 +182,9 @@ class NonlinearProblem:
         u = self.u
         converged = False
         it = 0
-        r0 = None
+        rhs, rnorm = self._residual(dtype)
+        r0 = max(rnorm, 1e-30)
         for it in range(1, self.max_it + 1):
-            if mpc is not None:
-                mpc.homogenize(u)
-                mpc.backsubstitution(u)
-            rhs = -assemble_vector(self._F, mpc, dtype=dtype)
-            uarr = jnp.asarray(u.x.array)
-            rhs = apply_lifting(rhs, [self._J], [self.bcs], mpc, x0=uarr, scale=1.0, dtype=dtype)
-            rhs = set_bc(rhs, self.bcs, x0=uarr, scale=1.0)
-            rnorm = float(jnp.linalg.norm(rhs))
-            if r0 is None:
-                r0 = max(rnorm, 1e-30)
             if rnorm < self.atol or rnorm / r0 < self.rtol:
                 converged = True
                 break
@@ -172,7 +194,31 @@ class NonlinearProblem:
                 bs=getattr(self.u.function_space, "block_size", 1))
             if mpc is not None:
                 du = mpc.finalized.backsubstitution(du)
-            u.x.array[:] = np.asarray(uarr + du)
+            uarr = jnp.asarray(u.x.array)
+            if self.line_search == "none":
+                u.x.array[:] = np.asarray(uarr + du)
+                rhs, rnorm = self._residual(dtype)
+                continue
+            # backtracking (Armijo on ||F||): accept the first step length
+            # with sufficient decrease; if none qualifies within
+            # max_backtracks halvings, take the best trial seen (standard
+            # globalization safeguard — a zero step would stall Newton)
+            alpha, accepted = 1.0, False
+            best_alpha, best_rn = 1.0, np.inf
+            rhs_t, rn_t = rhs, rnorm
+            for _ in range(self.max_backtracks + 1):
+                u.x.array[:] = np.asarray(uarr + alpha * du)
+                rhs_t, rn_t = self._residual(dtype)
+                if rn_t < best_rn:
+                    best_alpha, best_rn = alpha, rn_t
+                if rn_t <= (1.0 - 1e-4 * alpha) * rnorm:
+                    accepted = True
+                    break
+                alpha *= 0.5
+            if not accepted and best_alpha != alpha:
+                u.x.array[:] = np.asarray(uarr + best_alpha * du)
+                rhs_t, rn_t = self._residual(dtype)
+            rhs, rnorm = rhs_t, rn_t
         if mpc is not None:
             mpc.backsubstitution(u)
         return it, converged

@@ -1,5 +1,11 @@
-"""Bisect the TPU assembly of the nb=24/nt=20 contact operator: full path
-vs DMT_NO_PALLAS=1 vs CPU reference diag (set env before running)."""
+"""Bisect the TPU assembly of the nb=24/nt=20 contact operator: accelerator
+backend vs local-CPU backend of the SAME unstructured slot-CSR assembler.
+
+Note (ADVICE r3): the unstructured path (ops/assemble.py) is XLA-only — it
+has no pallas branch, so a DMT_NO_PALLAS toggle is a no-op here (it only
+affects lattice/BELL paths), and the compiled kernel is cached on the form
+keyed by (constraint ids, dtype), so each pass below rebuilds the
+BilinearForm to guarantee the toggled code path is actually retraced."""
 
 import os
 import sys
@@ -38,20 +44,27 @@ mpc = dmt.MultiPointConstraint(V)
 mpc.create_contact_inelastic_condition(mt, 1, 2)
 mpc.finalize()
 mu, lam = 1.0, 1.25
-a = dmt.BilinearForm(
-    V, lambda u, v, c: 2 * mu * inner(sym(grad(u)), sym(grad(v)))
-    + lam * div(u) * conj(div(v)))
 bdofs = dmt.locate_dofs_geometrical(V, lambda x: np.isclose(x[2], 0.0))
 bc = dmt.dirichletbc(np.array([0.0, 0.0, 0.0]), bdofs, V)
 tdofs = dmt.locate_dofs_geometrical(V, lambda x: np.isclose(x[2], 2.0))
 bc_top = dmt.dirichletbc(np.array([0.0, 0.0, -0.05]), tdofs, V)
 
-for tag, env in (("full", None), ("no-pallas", "1")):
-    if env is None:
-        os.environ.pop("DMT_NO_PALLAS", None)
-    else:
-        os.environ["DMT_NO_PALLAS"] = env
-    A = dmt.assemble_matrix(a, mpc, bcs=[bc, bc_top])
+import contextlib
+
+diags = {}
+for tag, ctx in (("accel", contextlib.nullcontext()),
+                 ("cpu", jax.default_device(jax.devices("cpu")[0]))):
+    # fresh form per pass: the compiled kernel is cached ON the form, so a
+    # shared form would silently reuse the first pass's program
+    a = dmt.BilinearForm(
+        V, lambda u, v, c: 2 * mu * inner(sym(grad(u)), sym(grad(v)))
+        + lam * div(u) * conj(div(v)))
+    with ctx:
+        A = dmt.assemble_matrix(a, mpc, bcs=[bc, bc_top])
     d = np.asarray(A.to_scipy().tocsr().diagonal())
+    diags[tag] = d
     print(f"{tag}: zero-diag={int((d == 0).sum())} neg-diag={int((d < 0).sum())} "
           f"min={d.min():.4e} max={d.max():.4e}", flush=True)
+rel = (np.abs(diags["accel"] - diags["cpu"]).max()
+       / max(np.abs(diags["cpu"]).max(), 1e-30))
+print(f"accel-vs-cpu diag rel diff: {rel:.3e}", flush=True)

@@ -52,6 +52,10 @@ print(f"slots len={len(slots)} nnz={nnz} dtype={slots.dtype} "
 
 rng = np.random.default_rng(0)
 vals = rng.standard_normal(len(slots)).astype(np.float32)
+# the probe assumes a single dump slot at exactly nnz: an out-of-range slot
+# id would be dropped by segment_sum but EXTEND the bincount array, and the
+# diff below would then compare misaligned shapes
+assert slots.max() <= nnz, (slots.max(), nnz)
 # numpy reference in f64
 ref = np.bincount(slots, weights=vals.astype(np.float64), minlength=nnz + 1)
 out = np.asarray(jax.ops.segment_sum(
