@@ -19,9 +19,12 @@ Design split along the TPU grain:
    pseudo-inverse (one small matmul).
 
 Vector problems (elasticity, bs=3) aggregate the NODE graph (block
-Frobenius collapse) and expand the tentative prolongator per component —
-the translational near-nullspace; rotations are future work (iteration
-counts below are already mesh-stable).
+Frobenius collapse) and build the tentative prolongator from a per-
+aggregate QR of NEAR-NULLSPACE candidates (PyAMG-style fit_candidates):
+by default the bs translations, or — pass `nullspace=rigid_motions_
+nullspace(V)` — all 6 rigid-body modes, the reference's GAMG near-nullspace
+(utils/mpc_utils.py:163-215, attached in demo_elasticity.py).  Coarse
+levels carry the projected candidates (block size k = n_modes).
 """
 
 from __future__ import annotations
@@ -34,6 +37,14 @@ __all__ = ["AMG", "smoothed_aggregation_amg"]
 
 
 # ---------------------------------------------------------------- setup ---
+
+def _safe_inv(d):
+    """Elementwise 1/d with zeros kept zero (no divide-by-zero warning)."""
+    d = np.asarray(d, np.float64)
+    out = np.zeros_like(d)
+    np.divide(1.0, d, out=out, where=d != 0)
+    return out
+
 
 def _node_graph(A, bs):
     """Collapse a bs-blocked dof matrix to its node graph (max |entry| per
@@ -152,6 +163,81 @@ def _aggregate(S, seed=0):
     return relabel[agg], na
 
 
+def _default_candidates(n, bs):
+    """Per-component constants (the bs translation modes)."""
+    B = np.zeros((n, bs))
+    for c in range(bs):
+        B[c::bs, c] = 1.0
+    return B
+
+
+def _fit_candidates(agg, na, B, bs, tol=1e-8):
+    """Per-aggregate QR of the near-nullspace candidates (PyAMG-style
+    fit_candidates): returns the tentative prolongator T (n x na*k) with
+    orthonormal within-aggregate column blocks, and the coarse candidates
+    Bc (na*k, k) = stacked R factors, so T @ Bc == B up to dropped
+    rank-deficient columns (singleton aggregates cannot represent all 6
+    rigid modes — their dependent columns are zeroed, which decouples the
+    corresponding coarse dofs; the coarse solve's diagonal shift keeps them
+    harmless).
+
+    QR is batched, BUCKETED by padded aggregate size so one giant aggregate
+    does not blow up the (na, m_max, k) workspace."""
+    import scipy.sparse as sp
+
+    n_nodes = agg.shape[0]
+    n, k = B.shape
+    assert n == n_nodes * bs, (n, n_nodes, bs)
+    sizes = np.bincount(agg, minlength=na)
+    order = np.argsort(agg, kind="stable")
+    starts = np.zeros(na + 1, np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    pos_node = np.arange(n_nodes) - starts[agg[order]]  # rank within agg
+
+    # bucket aggregates by padded dof count (next power of two, >= k rows
+    # so reduced QR always yields k columns)
+    m_dofs = np.maximum(sizes * bs, 1)
+    bucket = np.maximum(
+        (2 ** np.ceil(np.log2(m_dofs))).astype(np.int64), k)
+    rows_l, cols_l, vals_l = [], [], []
+    Bc = np.zeros((na, k, k))
+    agg_sorted = agg[order]
+    for mb in np.unique(bucket):
+        asel = np.flatnonzero(bucket == mb)
+        loc = np.full(na, -1, np.int64)
+        loc[asel] = np.arange(asel.size)
+        in_b = loc[agg_sorted] >= 0
+        nd = order[in_b]                      # nodes of this bucket
+        arow = loc[agg_sorted[in_b]]          # aggregate idx within bucket
+        prow = pos_node[in_b]                 # node rank within aggregate
+        dof_rows = (nd[:, None] * bs + np.arange(bs)).ravel()
+        dof_arow = np.repeat(arow, bs)
+        dof_prow = (prow[:, None] * bs + np.arange(bs)).ravel()
+        Bp = np.zeros((asel.size, mb, k))
+        Bp[dof_arow, dof_prow] = B[dof_rows]
+        Q, R = np.linalg.qr(Bp)               # (nb, mb, k), (nb, k, k)
+        # rank safeguard: zero columns whose R diagonal is negligible
+        # (Q columns beyond the rank are arbitrary orthonormal fill that
+        # would otherwise leak garbage into P)
+        dR = np.abs(np.einsum("aii->ai", R))
+        bad = dR < tol * np.maximum(dR.max(axis=1, keepdims=True), 1e-300)
+        if bad.any():
+            Q = np.where(bad[:, None, :], 0.0, Q)
+            R = np.where(bad[:, :, None], 0.0, R)
+        rows_l.append(np.repeat(dof_rows, k))
+        cols_l.append(
+            (np.repeat(agg_sorted[in_b], bs)[:, None] * k
+             + np.arange(k)).ravel())
+        vals_l.append(Q[dof_arow, dof_prow].ravel())
+        Bc[asel] = R
+    T = sp.csr_matrix(
+        (np.concatenate(vals_l),
+         (np.concatenate(rows_l), np.concatenate(cols_l))),
+        shape=(n, na * k))
+    T.eliminate_zeros()
+    return T, Bc.reshape(na * k, k)
+
+
 def _rho_dinv_a(A, n_iter=30, seed=1):
     """Upper estimate of rho(D^-1 A) = lambda_max(D^-1/2 A D^-1/2): Lanczos
     on the symmetrized operator with a Gershgorin safety cap.
@@ -170,7 +256,7 @@ def _rho_dinv_a(A, n_iter=30, seed=1):
     no failure observed across the contact/elasticity operators since the
     Lanczos switch."""
     d = A.diagonal()
-    dinv = np.where(d != 0, 1.0 / d, 0.0)
+    dinv = _safe_inv(d)
     # Gershgorin row bound of D^-1 A: a guaranteed upper bound on rho
     absA = abs(A)
     gersh = float((np.abs(dinv) * np.ravel(absA.sum(axis=1))).max())
@@ -225,13 +311,20 @@ def _to_device_op(A, dtype, bs=1, ell_min=4096):
 
 def smoothed_aggregation_amg(
     A, bs=1, theta=0.08, max_levels=12, coarse_size=800,
-    n_smooth=3, dtype=np.float32, seed=0, fine_op=None,
+    n_smooth=3, dtype=np.float32, seed=0, fine_op=None, nullspace=None,
 ):
     """Build an AMG preconditioner from a scipy sparse matrix (or any
     operator exposing .to_scipy()).
 
     bs: dof block size (3 for 3D elasticity) — aggregation runs on the node
-    graph and the tentative prolongator is expanded per component.
+    graph; the tentative prolongator comes from per-aggregate QR of the
+    near-nullspace candidates.
+
+    nullspace: optional (n, k) candidate matrix — pass
+    utils.mpc_utils.rigid_motions_nullspace(V) for elasticity (the
+    reference's GAMG near-nullspace, mpc_utils.py:163-215: 6 rigid modes in
+    3D).  Default: the bs translation modes.  Coarse levels then carry
+    block size k.
 
     fine_op: optional pre-built device operator for the FINE level (the
     caller's CG matvec operator is the same matrix — sharing it halves the
@@ -242,28 +335,29 @@ def smoothed_aggregation_amg(
         A = A.to_scipy()
     A = A.tocsr()
 
-    ops, Ps, Rs, chebs = [], [], [], []
+    if nullspace is not None:
+        Bl = np.asarray(nullspace, np.float64)
+        assert Bl.shape[0] == A.shape[0], (Bl.shape, A.shape)
+    else:
+        Bl = _default_candidates(A.shape[0], bs)
+    k = Bl.shape[1]
+
+    ops, Ps, Rs, chebs, level_bs = [], [], [], [], []
     lvl = 0
     Al = A
+    bs_l = bs
     while Al.shape[0] > coarse_size and lvl < max_levels - 1:
-        G = _node_graph(Al, bs)
+        G = _node_graph(Al, bs_l)
         S = _strength(G, theta)
         agg, na = _aggregate(S, seed=seed + lvl)
-        if na * bs >= Al.shape[0]:  # no coarsening progress: stop
+        if na * k >= Al.shape[0]:  # no coarsening progress: stop
             break
-        nn = G.shape[0]
-        # tentative prolongator: per-aggregate constant, unit columns,
-        # expanded over components (kron with I_bs via index arithmetic)
-        sz = np.bincount(agg, minlength=na).astype(np.float64)
-        w = 1.0 / np.sqrt(sz[agg])
-        rows = (np.arange(nn)[:, None] * bs + np.arange(bs)).ravel()
-        cols = (agg[:, None] * bs + np.arange(bs)).ravel()
-        vals = np.repeat(w, bs)
-        T = sp.csr_matrix((vals, (rows, cols)), shape=(Al.shape[0], na * bs))
+        # tentative prolongator + projected coarse candidates
+        T, Bc = _fit_candidates(agg, na, Bl, bs_l)
         # smoothed P = (I - omega D^-1 A) T,  omega = 4/3 / rho(D^-1 A)
         rho = _rho_dinv_a(Al)
         d = Al.diagonal()
-        dinv = np.where(d != 0, 1.0 / d, 0.0)
+        dinv = _safe_inv(d)
         omega = (4.0 / 3.0) / rho
         P = (T - sp.diags(omega * dinv) @ (Al @ T)).tocsr()
         P.eliminate_zeros()
@@ -274,18 +368,28 @@ def smoothed_aggregation_amg(
         Ps.append(P)
         Rs.append(R)
         chebs.append(rho)
+        level_bs.append(bs_l)
         Al = Ac
+        Bl = Bc
+        bs_l = k
         lvl += 1
 
     ops.append(Al)
+    level_bs.append(bs_l)
     # device conversion; the fine level is the caller's CG operator — share
     # it when provided instead of holding a second HBM copy
     dev_ops = [fine_op if (i == 0 and fine_op is not None)
-               else _to_device_op(a, dtype, bs) for i, a in enumerate(ops[:-1])]
-    dev_P = [_to_device_op(p, dtype, bs) for p in Ps]
-    dev_R = [_to_device_op(r, dtype, bs) for r in Rs]
-    inv_diag = [jnp.asarray(np.where(a.diagonal() != 0, 1.0 / a.diagonal(), 0.0)
-                            .astype(dtype)) for a in ops[:-1]]
+               else _to_device_op(a, dtype, level_bs[i])
+               for i, a in enumerate(ops[:-1])]
+    # transfers are (level_bs[i] x k)-blocked rectangles: the ELL block
+    # size must divide BOTH dims, so use gcd(fine bs, coarse bs)
+    import math
+
+    t_bs = [math.gcd(level_bs[i], level_bs[i + 1]) for i in range(len(Ps))]
+    dev_P = [_to_device_op(p, dtype, t_bs[i]) for i, p in enumerate(Ps)]
+    dev_R = [_to_device_op(r, dtype, t_bs[i]) for i, r in enumerate(Rs)]
+    inv_diag = [jnp.asarray(_safe_inv(a.diagonal()).astype(dtype))
+                for a in ops[:-1]]
     # explicit dense inverse of the coarsest level (applied as one device
     # matmul in the V-cycle).  Cholesky-solve against I is ~50x cheaper than
     # the SVD behind pinv (measured 16.8 s -> ~0.4 s at ~5k coarse rows when
@@ -309,9 +413,8 @@ def smoothed_aggregation_amg(
         # dense inverse would be O(nC^2) memory, so terminate the V-cycle
         # with Chebyshev smoothing on that level instead.
         d = ops[-1].diagonal()
-        dev_ops.append(_to_device_op(ops[-1], dtype, bs))
-        inv_diag.append(jnp.asarray(
-            np.where(d != 0, 1.0 / d, 0.0).astype(dtype)))
+        dev_ops.append(_to_device_op(ops[-1], dtype, level_bs[-1]))
+        inv_diag.append(jnp.asarray(_safe_inv(d).astype(dtype)))
         chebs.append(_rho_dinv_a(ops[-1]))
         coarse_inv = None
     cheb = [(rho / 20.0, 1.1 * rho) for rho in chebs]

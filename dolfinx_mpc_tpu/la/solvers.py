@@ -351,7 +351,7 @@ def cg_segmented(Aop, b, M=None, rtol=1e-8, atol=1e-12, max_it=10000, seg=150):
 
 
 def solve(A: Callable, b, options: SolverOptions, diag=None, x0=None,
-          Aop=None, bs=1, Pop=None):
+          Aop=None, bs=1, Pop=None, nullspace=None):
     """Dispatch on SolverOptions; returns (x, its, rnorm).
 
     Aop: the assembled operator (anything with .to_scipy()) — required for
@@ -360,7 +360,11 @@ def solve(A: Callable, b, options: SolverOptions, diag=None, x0=None,
     Pop: optional separate PRECONDITIONER operator (the assembled `P` form
     of the reference's LinearProblem, problem.py:539-558): when given, the
     jacobi/chebyshev/amg preconditioners are built from Pop instead of the
-    system operator — A is still the operator CG/GMRES iterates on."""
+    system operator — A is still the operator CG/GMRES iterates on.
+
+    nullspace: optional (n, k) near-nullspace candidates for the amg pc
+    (rigid-body modes for elasticity — the reference attaches these to
+    GAMG, utils/mpc_utils.py:163-215)."""
     if Pop is not None:
         pc_src, pc_diag, pc_mv = Pop, Pop.diagonal(), Pop.matvec
     else:
@@ -375,7 +379,8 @@ def solve(A: Callable, b, options: SolverOptions, diag=None, x0=None,
             from .amg import smoothed_aggregation_amg
 
             M = smoothed_aggregation_amg(pc_src, bs=bs,
-                                         dtype=np.asarray(b).dtype)
+                                         dtype=np.asarray(b).dtype,
+                                         nullspace=nullspace)
         elif diag is not None:
             # AMG needs the assembled operator; fall back loudly to Jacobi
             # rather than silently running unpreconditioned CG

@@ -109,11 +109,22 @@ class LinearProblem:
         from .utils.timing import timed
 
         A, b = self.assemble()
+        # amg pc on a vector space: attach the rigid-body near-nullspace
+        # (what the reference does by hand with GAMG, demo_elasticity.py +
+        # utils/mpc_utils.py:163-215)
+        ns = None
+        V = self.u.function_space
+        bs = getattr(V, "block_size", 1)
+        if (self.options.pc_type in ("gamg", "amg", "hypre", "boomeramg")
+                and not getattr(V, "is_mixed", False)
+                and bs > 1 and bs == V.mesh.gdim):
+            from .utils.mpc_utils import rigid_motions_nullspace
+
+            ns = rigid_motions_nullspace(V)
         with timed("~MPC: Solve linear problem"):
             x, its, rnorm = krylov_solve(
                 A.matvec, b, self.options, diag=A.diagonal(), Aop=A,
-                bs=getattr(self.u.function_space, "block_size", 1),
-                Pop=self._P_mat)
+                bs=bs, Pop=self._P_mat, nullspace=ns)
         self.its = int(its)
         self.rnorm = float(rnorm)
         if self.mpc is not None:

@@ -97,17 +97,12 @@ def test_gamg_via_linear_problem():
     assert np.abs(np.asarray(ug.x.array) - np.asarray(uj.x.array)).max() < 1e-7 * nrm
 
 
-def test_amg_contact_elasticity_iterations():
-    """Tied-contact elasticity (the bench_contact_3D problem, small): AMG
-    cuts CG iterations well below Jacobi — the reference solves this with
-    GAMG (/root/reference/python/benchmarks/bench_contact_3D.py:186-213)."""
+def _contact_elasticity_system(nb=7, nt=6):
+    """Assembled tied-contact elasticity (the bench_contact_3D problem,
+    small): returns (V, A, b)."""
     import dolfinx_mpc_tpu as dmt
     from dolfinx_mpc_tpu.fem.forms import conj, div, grad, inner, sym
     from dolfinx_mpc_tpu.fem.mesh import Mesh, create_box, meshtags
-    from dolfinx_mpc_tpu.la.amg import smoothed_aggregation_amg
-    from dolfinx_mpc_tpu.la.solvers import cg_segmented
-
-    nb, nt = 7, 6
     bot = create_box((0, 0, 0), (1, 1, 1), (nb, nb, nb))
     top = create_box((0, 0, 1), (1, 1, 2), (nt, nt, nt))
     mesh = Mesh(np.vstack([bot.points, top.points]),
@@ -134,7 +129,16 @@ def test_amg_contact_elasticity_iterations():
     b = dmt.assemble_vector(L, mpc)
     b = dmt.apply_lifting(b, [a], [[bc, bc_top]], mpc)
     b = jnp.asarray(np.asarray(dmt.set_bc(b, [bc, bc_top])))
+    return V, A, b
 
+
+def test_amg_contact_elasticity_iterations():
+    """AMG cuts CG iterations well below Jacobi — the reference solves this
+    with GAMG (/root/reference/python/benchmarks/bench_contact_3D.py:186-213)."""
+    from dolfinx_mpc_tpu.la.amg import smoothed_aggregation_amg
+    from dolfinx_mpc_tpu.la.solvers import cg_segmented
+
+    V, A, b = _contact_elasticity_system()
     M = smoothed_aggregation_amg(A, bs=3, coarse_size=400, dtype=np.float64)
     x, its, rn = cg_segmented(A, b, M=M, rtol=1e-6, max_it=600, seg=50)
     x_j, its_j, _ = cg_segmented(A, b, rtol=1e-6, max_it=2000, seg=200)
@@ -143,6 +147,91 @@ def test_amg_contact_elasticity_iterations():
     assert float(jnp.linalg.norm(x - x_j)) < 1e-4 * nrm
     assert its < its_j / 2, (int(its), int(its_j))
     assert its <= 100, int(its)
+
+
+def test_fit_candidates_reproduces_nullspace():
+    """The tentative prolongator must reproduce the near-nullspace exactly:
+    T @ Bc == B (PyAMG fit_candidates identity) — this is what makes the
+    rigid modes live in range(P), the GAMG near-nullspace contract
+    (/root/reference/python/dolfinx_mpc/utils/mpc_utils.py:163-215)."""
+    from dolfinx_mpc_tpu.la.amg import _aggregate, _fit_candidates, _node_graph, _strength
+
+    rng = np.random.default_rng(3)
+    n_nodes, bs, k = 400, 3, 6
+    coords = rng.standard_normal((n_nodes, 3))
+    # rigid modes on random coordinates
+    B = np.zeros((n_nodes * bs, k))
+    for c in range(3):
+        B[c::bs, c] = 1.0
+    B[0::bs, 3] = -coords[:, 1]; B[1::bs, 3] = coords[:, 0]
+    B[0::bs, 4] = coords[:, 2];  B[2::bs, 4] = -coords[:, 0]
+    B[2::bs, 5] = coords[:, 1];  B[1::bs, 5] = -coords[:, 2]
+    # a random sparse SPD-ish node graph to aggregate
+    A = _poisson3d(8)  # 512 > 400? no — use 8^3=512 nodes then trim
+    A = A[:n_nodes, :n_nodes].tocsr()
+    S = _strength(A, 0.05)
+    agg, na = _aggregate(S)
+    T, Bc = _fit_candidates(agg, na, B, bs)
+    err = np.abs(T @ Bc - B).max()
+    assert err < 1e-12, err
+    # orthonormal column blocks: T^T T == I on the non-dropped columns
+    G = (T.T @ T).toarray()
+    d = np.diag(G)
+    keep = d > 0.5
+    assert np.allclose(G[np.ix_(keep, keep)], np.eye(int(keep.sum())), atol=1e-12)
+
+
+def test_amg_rigid_modes_cut_elasticity_iterations():
+    """Passing the 6 rigid-body modes as the AMG near-nullspace must beat
+    the translations-only default on elasticity — the reference's GAMG
+    near-nullspace story (demo_elasticity.py + mpc_utils.py:163-215)."""
+    from dolfinx_mpc_tpu.la.amg import smoothed_aggregation_amg
+    from dolfinx_mpc_tpu.la.solvers import cg_segmented
+    from dolfinx_mpc_tpu.utils.mpc_utils import rigid_motions_nullspace
+
+    V, A, b = _contact_elasticity_system()
+    M0 = smoothed_aggregation_amg(A, bs=3, coarse_size=400, dtype=np.float64)
+    x0, its0, _ = cg_segmented(A, b, M=M0, rtol=1e-8, max_it=600, seg=50)
+    ns = rigid_motions_nullspace(V)
+    M1 = smoothed_aggregation_amg(A, bs=3, coarse_size=400,
+                                  dtype=np.float64, nullspace=ns)
+    x1, its1, _ = cg_segmented(A, b, M=M1, rtol=1e-8, max_it=600, seg=50)
+    assert its1 < its0, (int(its1), int(its0))
+    nrm = float(jnp.linalg.norm(x0))
+    assert float(jnp.linalg.norm(x1 - x0)) < 1e-5 * nrm
+
+
+def test_gamg_elasticity_linear_problem_attaches_nullspace():
+    """LinearProblem with pc_type=gamg on a vector space auto-attaches the
+    rigid-modes near-nullspace (reference attaches it by hand to the GAMG
+    PC in demo_elasticity.py); solve matches the Jacobi-CG answer."""
+    import dolfinx_mpc_tpu as dmt
+    from dolfinx_mpc_tpu.fem.forms import conj, div, grad, inner, sym
+    from dolfinx_mpc_tpu.fem.mesh import create_box
+
+    mesh = create_box((0, 0, 0), (1, 1, 1), (6, 6, 6))
+    V = dmt.functionspace(mesh, ("Lagrange", 1, (3,)))
+    bdofs = dmt.locate_dofs_geometrical(V, lambda x: np.isclose(x[2], 0.0))
+    bc = dmt.dirichletbc(np.array([0.0, 0.0, 0.0]), bdofs, V)
+    mpc = dmt.MultiPointConstraint(V)
+    mpc.create_periodic_constraint_geometrical(
+        V, lambda x: np.isclose(x[0], 1.0),
+        lambda x: np.stack([1.0 - x[0], x[1], x[2]]), [bc])
+    mpc.finalize()
+    a = dmt.BilinearForm(V, lambda u, v, c: 2 * inner(sym(grad(u)), sym(grad(v)))
+                         + 1.25 * div(u) * conj(div(v)))
+    f = np.array([0.0, 0.0, -1.0])
+    L = dmt.LinearForm(V, lambda v, c: inner(f, v))
+    pg = dmt.LinearProblem(a, L, mpc, bcs=[bc],
+                           petsc_options={"ksp_type": "cg", "pc_type": "gamg",
+                                          "ksp_rtol": 1e-9})
+    ug = pg.solve()
+    pj = dmt.LinearProblem(a, L, mpc, bcs=[bc],
+                           petsc_options={"ksp_type": "cg", "ksp_rtol": 1e-9})
+    uj = pj.solve()
+    assert pg.its < pj.its / 2, (pg.its, pj.its)
+    nrm = np.abs(np.asarray(uj.x.array)).max()
+    assert np.abs(np.asarray(ug.x.array) - np.asarray(uj.x.array)).max() < 1e-6 * nrm
 
 
 def test_amg_large_coarse_fallback_no_dense():
