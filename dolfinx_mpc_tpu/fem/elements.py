@@ -2,10 +2,19 @@
 
 Replaces the Basix tabulation surface the reference consumes
 (`evaluate_basis_functions`, /root/reference/cpp/utils.h:963-1200).  The basis
-is built once on the host via a Vandermonde inverse against a monomial basis
-(well-conditioned for degree <= 3, which covers everything the reference's
-demos/tests use); tabulation tables at quadrature points are baked as static
-arrays into the jitted assembly path.
+is built once on the host via a Vandermonde inverse against a modal basis,
+then tabulation tables at quadrature points are baked as static arrays into
+the jitted assembly path.
+
+Modal basis choice (conditioning, measured on the nodal Vandermonde):
+ - simplices: plain monomials — cond <= 2.5e6 through degree 6 (f64 keeps
+   ~1e-12 of the nodal delta property), and the monomial exponent table is
+   what the fast paths already bake in.
+ - tensor-product cells (quad/hex): tensor products of SHIFTED LEGENDRE
+   polynomials on [0,1] — the raw-monomial Vandermonde hits cond 3e8 at Q4
+   and 5e13 at Q6 (unusable), while the Legendre one stays <= ~1e4.
+This is how the package gets arbitrary-order Lagrange without basix
+(reference gets it from basix.create_element).
 """
 
 from __future__ import annotations
@@ -50,35 +59,97 @@ def _eval_monomial_grads(exps: np.ndarray, pts: np.ndarray) -> np.ndarray:
     return out
 
 
+def _legendre_1d(maxdeg: int, x: np.ndarray):
+    """Shifted Legendre on [0,1]: values and d/dx, shapes (maxdeg+1, n).
+
+    Three-term recurrence in t = 2x - 1 (numerically stable at any degree):
+        (k+1) P_{k+1} = (2k+1) t P_k - k P_{k-1}
+        (k+1) P'_{k+1} = (2k+1) (P_k + t P'_k) - k P'_{k-1},   d/dx = 2 d/dt.
+    """
+    t = 2.0 * np.asarray(x, np.float64) - 1.0
+    n = t.shape[0]
+    P = np.zeros((maxdeg + 1, n))
+    D = np.zeros((maxdeg + 1, n))
+    P[0] = 1.0
+    if maxdeg >= 1:
+        P[1] = t
+        D[1] = 1.0
+    for k in range(1, maxdeg):
+        P[k + 1] = ((2 * k + 1) * t * P[k] - k * P[k - 1]) / (k + 1)
+        D[k + 1] = ((2 * k + 1) * (P[k] + t * D[k]) - k * D[k - 1]) / (k + 1)
+    return P, 2.0 * D
+
+
+def _eval_tensor_legendre(exps: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """(n_basis, n_pts) tensor-Legendre values: prod_d L_{e_d}(x_d)."""
+    maxdeg = int(exps.max())
+    out = np.ones((exps.shape[0], pts.shape[0]))
+    for d in range(exps.shape[1]):
+        P, _ = _legendre_1d(maxdeg, pts[:, d])
+        out *= P[exps[:, d]]
+    return out
+
+
+def _eval_tensor_legendre_grads(exps: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """(n_basis, n_pts, tdim) tensor-Legendre gradients."""
+    maxdeg = int(exps.max())
+    tdim = exps.shape[1]
+    P1d, D1d = [], []
+    for d in range(tdim):
+        P, D = _legendre_1d(maxdeg, pts[:, d])
+        P1d.append(P)
+        D1d.append(D)
+    out = np.empty((exps.shape[0], pts.shape[0], tdim))
+    for g in range(tdim):
+        vals = np.ones((exps.shape[0], pts.shape[0]))
+        for d in range(tdim):
+            tab = D1d[d] if d == g else P1d[d]
+            vals *= tab[exps[:, d]]
+        out[:, :, g] = vals
+    return out
+
+
 @dataclass(frozen=True)
 class LagrangeElement:
     """Scalar Lagrange element on a reference cell.
 
     ndofs: number of scalar basis functions (= number of lattice nodes).
-    coeffs: (n_mono, ndofs) monomial coefficients so that
-        phi_j(x) = sum_k coeffs[k, j] * mono_k(x).
+    coeffs: (n_modal, ndofs) modal coefficients so that
+        phi_j(x) = sum_k coeffs[k, j] * modal_k(x),
+    where modal_k is mono_k (simplices) or the tensor-Legendre product with
+    per-axis degrees exps[k] (quad/hex) — see the module docstring.
     """
 
     cell: ReferenceCell
     degree: int
     nodes: np.ndarray  # (ndofs, tdim) nodal points, entity-ordered
-    coeffs: np.ndarray  # (n_mono, ndofs)
-    exps: np.ndarray  # (n_mono, tdim)
+    coeffs: np.ndarray  # (n_modal, ndofs)
+    exps: np.ndarray  # (n_modal, tdim)
+    modal: str = "monomial"  # "monomial" | "legendre"
 
     @property
     def ndofs(self) -> int:
         return self.nodes.shape[0]
 
+    def _eval_modal(self, pts: np.ndarray) -> np.ndarray:
+        if self.modal == "legendre":
+            return _eval_tensor_legendre(self.exps, pts)
+        return _eval_monomials(self.exps, pts)
+
+    def _eval_modal_grads(self, pts: np.ndarray) -> np.ndarray:
+        if self.modal == "legendre":
+            return _eval_tensor_legendre_grads(self.exps, pts)
+        return _eval_monomial_grads(self.exps, pts)
+
     def tabulate(self, pts: np.ndarray) -> np.ndarray:
         """Basis values, shape (n_pts, ndofs)."""
         pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
-        mono = _eval_monomials(self.exps, pts)  # (n_mono, n_pts)
-        return mono.T @ self.coeffs  # (n_pts, ndofs)
+        return self._eval_modal(pts).T @ self.coeffs  # (n_pts, ndofs)
 
     def tabulate_grad(self, pts: np.ndarray) -> np.ndarray:
         """Reference-coordinate basis gradients, shape (n_pts, ndofs, tdim)."""
         pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
-        dm = _eval_monomial_grads(self.exps, pts)  # (n_mono, n_pts, tdim)
+        dm = self._eval_modal_grads(pts)  # (n_modal, n_pts, tdim)
         return np.einsum("mpg,mj->pjg", dm, self.coeffs)
 
     def entity_dofs(self, dim: int) -> list:
@@ -133,7 +204,12 @@ def lagrange_element(cell_name: str, degree: int) -> LagrangeElement:
         raise RuntimeError(
             f"dim mismatch: {exps.shape[0]} monomials vs {nodes.shape[0]} nodes"
         )
-    V = _eval_monomials(exps, nodes).T  # (ndofs, n_mono): V[i,k] = mono_k(node_i)
-    coeffs = np.linalg.inv(V)  # phi_j = sum_k inv(V)[k,j] mono_k ; check: phi_j(node_i)=delta_ij
-    # inv(V) @ ... : we need C s.t. V @ C = I -> C = inv(V). coeffs[k, j].
-    return LagrangeElement(cell, degree, nodes, coeffs, exps)
+    # modal basis: monomials on simplices (cond fine through degree 6),
+    # tensor Legendre on quad/hex (monomial cond is 3e8 at Q4)
+    modal = "monomial" if cell.is_simplex else "legendre"
+    if modal == "legendre":
+        V = _eval_tensor_legendre(exps, nodes).T  # (ndofs, n_modal)
+    else:
+        V = _eval_monomials(exps, nodes).T  # V[i,k] = modal_k(node_i)
+    coeffs = np.linalg.inv(V)  # phi_j = sum_k inv(V)[k,j] modal_k
+    return LagrangeElement(cell, degree, nodes, coeffs, exps, modal)

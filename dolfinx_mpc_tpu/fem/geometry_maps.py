@@ -163,16 +163,11 @@ def pull_back(cell_type: str, coords: np.ndarray, x: np.ndarray, tol=1e-12, maxi
 
 def _tabulate_rows(el, X):
     """Evaluate basis where each row of X is a different point: (n, ndofs)."""
-    from .elements import _eval_monomials
-
-    mono = _eval_monomials(el.exps, X)  # (n_mono, n)
-    return mono.T @ el.coeffs
+    return el._eval_modal(X).T @ el.coeffs
 
 
 def _tabulate_grad_rows(el, X):
-    from .elements import _eval_monomial_grads
-
-    dm = _eval_monomial_grads(el.exps, X)  # (n_mono, n, tdim)
+    dm = el._eval_modal_grads(X)  # (n_modal, n, tdim)
     return np.einsum("mpg,mj->pjg", dm, el.coeffs)
 
 
