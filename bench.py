@@ -493,6 +493,7 @@ def main():
     from dolfinx_mpc_tpu.la.solvers import cg, jacobi_preconditioner
 
     M = None
+    blocked_mode = False
     try:
         from dolfinx_mpc_tpu.la.gmg import LatticeGMG, build_gmg_hierarchy
 
@@ -541,7 +542,12 @@ def main():
             if "coarse_inv" in zx:
                 gkw["coarse_inv"] = jnp.asarray(zx["coarse_inv"])
             log(f"GMG bounds/coarse-inv from cache ({os.path.basename(xpath)})")
-        M = LatticeGMG(ops, free_masks=masks, **gkw)
+        # blocked-native fine level (degree-2): vectors stay in the padded
+        # class-major stack through CG + smoothing; the interleave<->blocked
+        # transposes (4.8 ms/matvec at 2.1M dofs, probe r4) happen once per
+        # V-cycle at the level-0/1 transfer instead of per sweep
+        blocked_mode = clf._blocked_lean and ops[0].supports_blocked()
+        M = LatticeGMG(ops, free_masks=masks, blocked_io=blocked_mode, **gkw)
         if not gkw and M._bounds is not None:
             try:
                 xtra = {"bounds": np.asarray(M._bounds, np.float64)}
@@ -572,6 +578,7 @@ def main():
                 log(f"  level {l} pallas==XLA SpMV rel {rel_l:.2e}")
     except Exception as e:
         log(f"GMG unavailable ({e}); Jacobi fallback")
+        blocked_mode = False
         M = jacobi_preconditioner(A.diagonal())
 
     # operators as jit ARGS (pytrees), never closures: closed-over operator
@@ -579,16 +586,23 @@ def main():
     # payload limit at 10M dofs
     from dolfinx_mpc_tpu.la.gmg import LatticeGMG as _GMG
 
-    # phase breakdown: single fine SpMV and one V-cycle, chain-differenced
+    # phase breakdown: single fine SpMV and one V-cycle, chain-differenced;
+    # in blocked mode the production layout is the class stack, so the
+    # chains ride matvec_blocked / the blocked V-cycle
     @jax.jit
     def mv_chain(A_, x_, s, k):
+        mv = A_.matvec_blocked if blocked_mode else A_.matvec
         def body(i, v):
-            return A_.matvec(v * (1.0 + 1e-9 * i.astype(jnp.float32)))
-        return jax.lax.fori_loop(0, k, body, x_ * (1.0 + 1e-9 * s))[0]
+            return mv(v * (1.0 + 1e-9 * i.astype(jnp.float32)))
+        return jax.lax.fori_loop(0, k, body, x_ * (1.0 + 1e-9 * s)).ravel()[0]
 
     xr = b / jnp.maximum(jnp.linalg.norm(b), 1e-30)
+    if blocked_mode:
+        to_b = jax.jit(A.dia._to_blocked)
+        from_b = jax.jit(A.dia._from_blocked)
+        xr = to_b(xr)
     t_mv, _ = chain_diff(lambda s, k: mv_chain(A, xr, jnp.float32(s), k), 1, 33,
-                         "fine SpMV chain")
+                         "fine SpMV chain" + (" (blocked layout)" if blocked_mode else ""))
     log(f"  -> SpMV {len(clf.trips) if clf._blocked_lean else (len(clf.offsets) if clf._lean else 15)}"
         f"-{'triple' if clf._blocked_lean else 'diag'} "
         f"{(out_bytes + 2 * 4 * V.num_dofs)/t_mv/1e9:.0f} GB/s effective")
@@ -598,16 +612,24 @@ def main():
         def vc_chain(M_, r0, s, k):
             def body(i, v):
                 return M_(v * (1.0 + 1e-9 * i.astype(jnp.float32)))
-            return jax.lax.fori_loop(0, k, body, r0 * (1.0 + 1e-9 * s))[0]
+            return jax.lax.fori_loop(0, k, body, r0 * (1.0 + 1e-9 * s)).ravel()[0]
 
         t_vc, _ = chain_diff(lambda s, k: vc_chain(M, xr, jnp.float32(s), k), 1, 9,
                              "V-cycle chain")
 
     @jax.jit
     def solve(A_, M_, b_, rtol, atol, max_it):
-        return cg(A_.matvec, b_, M=M_, rtol=rtol, atol=atol, max_it=max_it)
+        mv = A_.matvec_blocked if blocked_mode else A_.matvec
+        return cg(mv, b_, M=M_, rtol=rtol, atol=atol, max_it=max_it)
 
-    run = lambda s, rtol, atol, mi: solve(A, M, b * (1.0 + 1e-9 * s), rtol, atol, mi)
+    b_run = to_b(b) if blocked_mode else b
+    # NOTE: the pallas blocked SpMV stays OFF (dia.use_pallas_mv default):
+    # once the layout transposes are gone the XLA blocked stencil runs at
+    # 476 GB/s (0.567 ms at 2.1M dofs) while the roll-bound pallas kernel
+    # measured 2.43 ms standalone and +8 ms/it composed (r4, eqcheck-passed
+    # but slower) — the kernel stays in pallas_lattice.py for probes.
+
+    run = lambda s, rtol, atol, mi: solve(A, M, b_run * (1.0 + 1e-9 * s), rtol, atol, mi)
 
     # converged solve: iterations + rnorm from a real run, then per-iteration
     # time via FIXED-iteration differencing (rtol=0 never converges)

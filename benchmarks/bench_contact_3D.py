@@ -100,10 +100,15 @@ def run(nb, nt, rtol, out, max_it=8000, cheb=False, seg=100, pc="amg",
     M = None
     if pc == "amg":
         from dolfinx_mpc_tpu.la.amg import smoothed_aggregation_amg
+        from dolfinx_mpc_tpu.utils.mpc_utils import rigid_motions_nullspace
 
+        # all 6 rigid-body modes as the near-nullspace — the reference
+        # attaches these to GAMG (bench_contact_3D.py:186-213 +
+        # mpc_utils.py:163-215); r4: 16 -> 10 its at 7k dofs
         M = smoothed_aggregation_amg(
             As, bs=3, dtype=np.float32,
-            fine_op=Aop if fmt == "ell" else None)
+            fine_op=Aop if fmt == "ell" else None,
+            nullspace=rigid_motions_nullspace(V))
     timings["pc+format setup"] = time.time() - t0
 
     x, its, rn = cg_segmented(Aop, b, M=M, rtol=rtol, max_it=max_it, seg=seg)

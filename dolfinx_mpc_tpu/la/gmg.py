@@ -145,18 +145,37 @@ class LatticeGMG:
 
     def __init__(self, ops, n_pre=2, n_post=2, omega="auto", coarse_iters=30,
                  free_masks=None, coarse="auto", coarse_inv=None,
-                 dense_max=8192, cheb_degree=40, bounds=None):
+                 dense_max=8192, cheb_degree=40, bounds=None,
+                 blocked_io=False):
         self.ops = ops
         self.n_pre, self.n_post = n_pre, n_post
         self.coarse_iters = coarse_iters
+        # blocked_io: the FINE level works on the padded class-major stack
+        # (n_cls, s0, s1, s2) of its BlockDIAMatrix — __call__ takes/returns
+        # that layout.  The interleave<->blocked transposes cost 4.8 ms per
+        # matvec at 2.1M dofs (probe r4); in this mode they happen once per
+        # V-cycle at the level-0/1 transfer instead of once per smoothing
+        # sweep, and the outer CG never pays them.
+        if blocked_io:
+            assert ops[0].supports_blocked(), "fine op has no blocked layout"
+            assert len(ops) > 1, "blocked_io needs a coarse level"
+        self.blocked_io = blocked_io
         # free_masks[l]: 1.0 on unconstrained dofs, 0.0 on bc/slave rows —
         # residuals/corrections are projected onto the free subspace around
         # each transfer so constrained rows don't pollute coarse levels
+        if blocked_io and free_masks is not None:
+            free_masks = [ops[0].dia._to_blocked(free_masks[0])] + list(free_masks[1:])
         self.free_masks = free_masks
         self._inv_diag = []
-        for A in ops:
+        flat_inv = []  # for the Gershgorin bounds (flat-matvec consistent)
+        for lvl, A in enumerate(ops):
             d = A.diagonal()
-            self._inv_diag.append(jnp.where(d != 0, 1.0 / d, 0.0))
+            inv = jnp.where(d != 0, 1.0 / d, 0.0)
+            flat_inv.append(inv)
+            if lvl == 0 and blocked_io:
+                db = A.diagonal_blocked()
+                inv = jnp.where(db != 0, 1.0 / db, 0.0)
+            self._inv_diag.append(inv)
         # omega="auto": weighted-Jacobi damping from the per-level Gershgorin
         # bound lmax(D^-1 A) <= max_i sum_j |a_ij| / d_i.  omega must keep
         # omega*lmax < 2 or the smoother DIVERGES and the V-cycle stops
@@ -165,7 +184,7 @@ class LatticeGMG:
         # a fixed 0.8 broke the bs=3 bench solve (3000 its, rnorm 1e-1).
         need_bounds = omega == "auto" or coarse in ("auto", "chebyshev")
         if bounds is None and need_bounds:
-            bounds = _gershgorin_bounds(ops, self._inv_diag)
+            bounds = _gershgorin_bounds(ops, flat_inv)
         self._bounds = bounds
         if omega == "auto":
             self.omegas = tuple(1.6 / max(l, 2.0) for l in bounds)
@@ -208,11 +227,17 @@ class LatticeGMG:
         A = self.ops[lvl]
         inv = self._inv_diag[lvl]
         om = self.omegas[lvl]
+        mv = (A.matvec_blocked if lvl == 0 and self.blocked_io
+              else A.matvec)
 
         def body(_, xi):
-            return xi + om * inv * (b - A.matvec(xi))
+            return xi + om * inv * (b - mv(xi))
 
         return jax.lax.fori_loop(0, n_sweeps, body, x)
+
+    def _fine_mv(self, x):
+        A = self.ops[0]
+        return A.matvec_blocked(x) if self.blocked_io else A.matvec(x)
 
     def _restrict(self, lvl, r):
         # R = P^T exactly (x2 per coarsened axis on top of full weighting):
@@ -220,6 +245,8 @@ class LatticeGMG:
         # V-cycle rates, measured ~3x fewer CG iterations than the
         # unit-row-sum weighting
         Af, Ac = self.ops[lvl], self.ops[lvl + 1]
+        if lvl == 0 and self.blocked_io:
+            r = Af.dia._from_blocked(r)  # class stack -> fine nodal flat
         g = self._to_grid(Af, r)
         for ax in range(3):
             if Af.dia.vshape[ax] != Ac.dia.vshape[ax]:
@@ -232,7 +259,10 @@ class LatticeGMG:
         for ax in range(3):
             if Af.dia.vshape[ax] != Ac.dia.vshape[ax]:
                 g = _prolong1(g, ax)
-        return g.reshape(-1)
+        g = g.reshape(-1)
+        if lvl == 0 and self.blocked_io:
+            g = Af.dia._to_blocked(g)  # fine nodal flat -> class stack
+        return g
 
     def _coarse_solve(self, b):
         A = self.ops[-1]
@@ -301,7 +331,9 @@ class LatticeGMG:
             return self._coarse_solve(b)
         x = jnp.zeros_like(b)
         x = self._smooth(lvl, x, b, self.n_pre)
-        r = self._mask(lvl, b - self.ops[lvl].matvec(x))
+        mv = (self._fine_mv if lvl == 0 and self.blocked_io
+              else self.ops[lvl].matvec)
+        r = self._mask(lvl, b - mv(x))
         rc = self._mask(lvl + 1, self._restrict(lvl, r))
         xc = self._vcycle(lvl + 1, rc)
         x = x + self._mask(lvl, self._prolong(lvl, self._mask(lvl + 1, xc)))
@@ -313,7 +345,7 @@ class LatticeGMG:
     def tree_flatten(self):
         ch = (self.ops, self.free_masks, self._inv_diag, self.coarse_inv)
         aux = (self.n_pre, self.n_post, self.omegas, self.coarse_iters,
-               self.coarse_mode, self._cheb)
+               self.coarse_mode, self._cheb, self.blocked_io)
         return ch, aux
 
     @classmethod
@@ -321,7 +353,7 @@ class LatticeGMG:
         obj = cls.__new__(cls)
         obj.ops, obj.free_masks, obj._inv_diag, obj.coarse_inv = ch
         (obj.n_pre, obj.n_post, obj.omegas, obj.coarse_iters,
-         obj.coarse_mode, obj._cheb) = aux
+         obj.coarse_mode, obj._cheb, obj.blocked_io) = aux
         obj._bounds = None
         return obj
 

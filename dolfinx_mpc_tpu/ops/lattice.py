@@ -220,22 +220,26 @@ class BlockDIAMatrix:
     as DIAMatrix (cpp/assemble_matrix.cpp per-cell CSR); scalar only.
     """
 
-    def __init__(self, data, trips, vshape, r3, bs=1):
+    def __init__(self, data, trips, vshape, r3, bs=1, use_pallas_mv=False):
         assert bs == 1, "blocked stencil path is scalar-only"
         self.data = data
         self.trips = trips  # host tuple of ((p0,p1,p2), (q0,q1,q2), (di,dj,dk))
         self.vshape = vshape
         self.r3 = r3
         self.bs = bs
+        # pallas SpMV opt-in: set ONLY after an on-chip composed-program
+        # equality check (see matvec_blocked)
+        self.use_pallas_mv = use_pallas_mv
 
     def tree_flatten(self):
-        return (self.data,), (self.trips, self.vshape, self.r3, self.bs)
+        return (self.data,), (self.trips, self.vshape, self.r3, self.bs,
+                              self.use_pallas_mv)
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
         obj = cls.__new__(cls)
         obj.data = ch[0]
-        obj.trips, obj.vshape, obj.r3, obj.bs = aux
+        obj.trips, obj.vshape, obj.r3, obj.bs, obj.use_pallas_mv = aux
         return obj
 
     @property
@@ -275,16 +279,32 @@ class BlockDIAMatrix:
         return yf[:n0, :n1, :n2].reshape(-1)
 
     def matvec(self, x):
+        return self._from_blocked(self.matvec_blocked(self._to_blocked(x)))
+
+    def matvec_blocked(self, xb):
+        """SpMV on the padded BLOCKED class stack (n_cls, s0, s1, s2) —
+        the native layout of the solve path: the interleaved<->class-major
+        transposes in matvec() measure 4.8 ms of its 10.5 ms at 2.1M dofs
+        (scripts/probe_p2_asm_phases.py r4), so GMG/CG keep vectors blocked
+        and convert only at the problem boundary.  Padded slots stay exact
+        zeros (data's padded slots are zeros)."""
         import os as _os
 
         s0, s1, s2 = self.cdims
-        xb = self._to_blocked(x)
-        # NOTE: the pallas blocked matvec was removed from dispatch (round
-        # 4): same monolithic-program Mosaic miscompile class as the bs>1
-        # DIA kernel (see DIAMatrix.matvec), only ~5% faster than the XLA
-        # slice-add path at 824k dofs, and no runtime gate can catch the
-        # composed-program failure.  The kernel stays in pallas_lattice.py
-        # for standalone Mosaic repro probes.
+        # pallas plane-program kernel (2.28 ms vs 10.46 at 2.1M dofs): OFF
+        # by default — the bs>1 DIA pallas kernels miscompiled under Mosaic
+        # when fused into the monolithic V-cycle (round 3) and a standalone
+        # equality check cannot catch that class.  bench.py enables it per
+        # run after an on-chip COMPOSED-program check (full GMG-CG pallas
+        # vs XLA), which is exactly the failing composition.
+        if (getattr(self, "use_pallas_mv", False)
+                and jax.default_backend() in ("tpu", "axon")
+                and not _os.environ.get("DMT_NO_PALLAS")):
+            from .pallas_lattice import make_blocked_matvec_pallas
+
+            mv = make_blocked_matvec_pallas(self.trips, self.vshape, self.r3)
+            if mv is not None:
+                return mv(self.data, xb)
         cls_id = {c: i for i, c in enumerate(self.classes)}
         if _os.environ.get("DMT_BLOCKED_RMW"):
             # legacy read-modify-write path (kept for bisecting): 230
@@ -306,7 +326,7 @@ class BlockDIAMatrix:
                 yb = yb.at[(cls_id[cr],) + dst].add(
                     self.data[(m,) + dst] * xb[(cls_id[cc],) + src]
                 )
-            return self._from_blocked(yb)
+            return yb
         # fused path: halo-pad the class stack once so every (cc, off)
         # source is a STATIC full-size slice, then build each output class
         # as ONE sum of elementwise products — XLA fuses the ~29 terms per
@@ -328,7 +348,18 @@ class BlockDIAMatrix:
             functools.reduce(jnp.add, terms[i]) if terms[i] else zero
             for i in range(xb.shape[0])
         ])
-        return self._from_blocked(yb)
+        return yb
+
+    def diagonal_blocked(self):
+        """Diagonal as the padded blocked class stack (n_cls, s0, s1, s2)."""
+        s0, s1, s2 = self.cdims
+        cls_id = {c: i for i, c in enumerate(self.classes)}
+        rows = [None] * len(self.classes)
+        for m, (cr, cc, off) in enumerate(self.trips):
+            if cr == cc and off == (0, 0, 0):
+                rows[cls_id[cr]] = self.data[m]
+        zero = jnp.zeros((s0, s1, s2), self.data.dtype)
+        return jnp.stack([r if r is not None else zero for r in rows])
 
     def diagonal(self):
         s0, s1, s2 = self.cdims
@@ -388,7 +419,8 @@ class LatticeOperator:
 
     def __init__(self, dia: DIAMatrix, side_data, side_cols, side_rows, side_nrows,
                  side_Aep=None, side_er=None, slaves=None, diagval=None,
-                 fold_axis=None, fold_mask=None, fold_pairs=None):
+                 fold_axis=None, fold_mask=None, fold_pairs=None,
+                 fold_mask_b=None):
         self.dia = dia
         self.side_data = side_data
         self.side_cols = side_cols
@@ -401,20 +433,24 @@ class LatticeOperator:
         self.fold_axis = fold_axis
         self.fold_mask = fold_mask
         self.fold_pairs = fold_pairs
+        # blocked-layout fold mask (n_cls, sA, sB) — see
+        # CompiledLatticeForm._build_blocked_structure; enables the
+        # blocked-native matvec_blocked on folded operators
+        self.fold_mask_b = fold_mask_b
 
     def tree_flatten(self):
         # fold_pairs (host numpy, to_scipy only) deliberately not carried —
         # array-valued aux breaks jit pytree equality
         ch = (self.dia, self.side_data, self.side_Aep, self.diagval,
               self.side_cols, self.side_rows, self.side_er, self.slaves,
-              self.fold_mask)
+              self.fold_mask, self.fold_mask_b)
         return ch, (self.side_nrows, self.fold_axis)
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
         return cls(ch[0], ch[1], ch[4], ch[5], aux[0], side_Aep=ch[2],
                    side_er=ch[6], slaves=ch[7], diagval=ch[3],
-                   fold_axis=aux[1], fold_mask=ch[8])
+                   fold_axis=aux[1], fold_mask=ch[8], fold_mask_b=ch[9])
 
     @property
     def shape(self):
@@ -458,6 +494,46 @@ class LatticeOperator:
             prod = self.side_data * x[self.side_cols]
             y = y + jax.ops.segment_sum(prod, self.side_rows, num_segments=self.shape[0])
         return y
+
+    def supports_blocked(self):
+        """True when the blocked-native solve layout applies: lean blocked
+        operator (no side blocks), with any fold carrying its blocked mask."""
+        return (isinstance(self.dia, BlockDIAMatrix)
+                and not self._unassembled()
+                and (self.side_data is None or self.side_data.shape[0] == 0)
+                and (self.fold_axis is None or self.fold_mask_b is not None))
+
+    def matvec_blocked(self, xb):
+        """K^H A K matvec on the padded blocked class stack (n_cls, s0, s1,
+        s2) — the solve-path layout (matvec()'s interleave<->class-major
+        transposes are 4.8 ms of 10.5 ms at 2.1M dofs, probe r4).  The fold
+        (periodic plane identification) runs per class on the class grids:
+        only parity-0 classes along the fold axis carry the end planes (all
+        refined dims are odd), so fold_mask_b zeroes everything else."""
+        dia = self.dia
+        if self.fold_axis is None:
+            return dia.matvec_blocked(xb)
+        ax = self.fold_axis
+        mb = self.fold_mask_b
+        xg = jnp.moveaxis(xb, 1 + ax, 1)  # (n_cls, s_ax, sA, sB)
+        u = xg.at[:, -1].set(jnp.where(mb, xg[:, 0], xg[:, -1]))
+        y = dia.matvec_blocked(jnp.moveaxis(u, 1, 1 + ax))
+        yg = jnp.moveaxis(y, 1 + ax, 1)
+        yg = yg.at[:, 0].add(jnp.where(mb, yg[:, -1], 0))
+        yg = yg.at[:, -1].set(jnp.where(mb, self.diagval * xg[:, -1], yg[:, -1]))
+        return jnp.moveaxis(yg, 1, 1 + ax)
+
+    def diagonal_blocked(self):
+        """diagonal() in the blocked class-stack layout."""
+        d = self.dia.diagonal_blocked()
+        if self.fold_axis is None:
+            return d
+        ax = self.fold_axis
+        mb = self.fold_mask_b
+        dg = jnp.moveaxis(d, 1 + ax, 1)
+        dg = dg.at[:, 0].add(jnp.where(mb, dg[:, -1], 0))
+        dg = dg.at[:, -1].set(jnp.where(mb, self.diagval, dg[:, -1]))
+        return jnp.moveaxis(dg, 1, 1 + ax)
 
     def diagonal(self):
         if self.fold_axis is not None:
@@ -752,6 +828,13 @@ class CompiledLatticeForm:
                 self._keep_grid = jnp.asarray(
                     np.moveaxis(keep, -1, 0).copy().astype(_real_dtype(self.dtype))
                 )
+                # static bc-dof multiplicity grid for the fused diagval add
+                # (duplicate bc dofs add diagval once each, like .at[].add)
+                indg = np.zeros(self.V.num_dofs, np.float64)
+                np.add.at(indg, bc_dofs, 1.0)
+                self._bc_ind_grid = jnp.asarray(
+                    np.moveaxis(indg.reshape(n0, n1, n2, bs), -1, 0)
+                    .copy().astype(np.float32))
                 self.pattern = None
                 self._keep_arg = self._keep_grid
                 # fused pallas assembler (flagship P1 config, DEFAULT on
@@ -776,13 +859,25 @@ class CompiledLatticeForm:
                     if use_pallas:
                         from .pallas_lattice import make_lean_blocked_pallas
 
-                        self._pallas_raw = make_lean_blocked_pallas(self)
+                        # BC row/col masking fused into the kernel: the XLA
+                        # 230-pass .at[m].multiply costs 4.5 ms of the
+                        # 4.53 ms n=64 assembly (probe_p2_asm_phases, r4)
+                        self._pallas_fused = (
+                            self._bc_dofs_grid.shape[0] > 0
+                            and not _os.environ.get("DMT_NO_FUSED_MASK"))
+                        self._pallas_raw = make_lean_blocked_pallas(
+                            self, fuse_mask=self._pallas_fused)
                         self._assemble = jax.jit(self._assemble_fold_lean_blocked_pallas)
                     else:
                         self._assemble = jax.jit(self._assemble_fold_lean_blocked)
                     return
                 if use_pallas:
-                    self._pallas_raw = make_lean_fold_pallas(self)
+                    self._pallas_fused = (
+                        r == 1  # fused masking is an r==1 feature
+                        and self._bc_dofs_grid.shape[0] > 0
+                        and not _os.environ.get("DMT_NO_FUSED_MASK"))
+                    self._pallas_raw = make_lean_fold_pallas(
+                        self, fuse_mask=self._pallas_fused)
                     self._assemble = jax.jit(self._assemble_fold_lean_pallas)
                 elif self.x_chunks > 1:
                     nxl = lat.dims[0]
@@ -1261,6 +1356,35 @@ class CompiledLatticeForm:
             g = np.asarray(keep_fine)[p0::r3[0], p1::r3[1], p2::r3[2]]
             kb[i, : g.shape[0], : g.shape[1], : g.shape[2]] = g
         self._keep_blocked = jnp.asarray(kb)
+        # static blocked bc-dof indicator (for the diagval diagonal add):
+        # count multiplicity like .at[].add does (duplicate bc dofs add twice)
+        ind = np.zeros(int(np.prod(self.vshape)), np.float64)
+        np.add.at(ind, np.asarray(self._bc_dofs_grid), 1.0)
+        ind = ind.reshape(self.vshape)
+        ib = np.zeros((len(self._classes), s0, s1, s2), np.float64)
+        for i, (p0, p1, p2) in enumerate(self._classes):
+            g = ind[p0::r3[0], p1::r3[1], p2::r3[2]]
+            ib[i, : g.shape[0], : g.shape[1], : g.shape[2]] = g
+        self._bc_ind_blocked = jnp.asarray(ib.astype(np.float32))
+        # blocked fold mask for the blocked-native matvec: per class, the
+        # perpendicular-plane identification mask on the class grid (only
+        # classes with parity 0 along the fold axis participate; both end
+        # planes are even since refined dims are odd).  Shape (n_cls, sA, sB)
+        # with (A, B) the non-fold axes in order; padded slots are False.
+        self._fold_mask_blocked = None
+        if self._fold_axis is not None:
+            ax = self._fold_axis
+            mf = np.asarray(self._fold_mask)  # (nA, nB, bs), bs == 1
+            mf = mf.reshape(mf.shape[0], mf.shape[1])
+            perp = [a for a in range(3) if a != ax]
+            sA, sB = self._cdims[perp[0]], self._cdims[perp[1]]
+            mb = np.zeros((len(self._classes), sA, sB), bool)
+            for i, pc in enumerate(self._classes):
+                if pc[ax] != 0:
+                    continue
+                g = mf[pc[perp[0]]::r3[perp[0]], pc[perp[1]]::r3[perp[1]]]
+                mb[i, : g.shape[0], : g.shape[1]] = g
+            self._fold_mask_blocked = jnp.asarray(mb)
 
     def _grouped_bmoves(self):
         grouped = {}
@@ -1313,22 +1437,19 @@ class CompiledLatticeForm:
         return data
 
     def _diag_adds_blocked(self, data, diagval):
-        """Add diagval on Dirichlet diagonals (per-class surface scatter)."""
+        """Add diagval on Dirichlet diagonals (per-class surface scatter).
+
+        The bc indicator in blocked layout is STATIC — precomputed in
+        _build_blocked_structure — so this is 8 diagonal-plane adds, not the
+        interleave->blocked transpose of a full vector (which measured
+        ~2.5 ms of the 2.8 ms fused-assembler total at n=64, probe r4)."""
         if not self._bc_dofs_grid.shape[0]:
             return data
-        n0, n1, n2 = self.vshape
-        r0, r1, r2 = self.r3
-        s0, s1, s2 = self._cdims
-        diag_add = jnp.zeros(self.V.num_dofs, dtype=data.dtype)
-        diag_add = diag_add.at[self._bc_dofs_grid].add(diagval)
-        dp = jnp.pad(diag_add.reshape(n0, n1, n2),
-                     ((0, r0 * s0 - n0), (0, r1 * s1 - n1), (0, r2 * s2 - n2)))
-        db = (dp.reshape(s0, r0, s1, r1, s2, r2)
-              .transpose(1, 3, 5, 0, 2, 4).reshape(-1, s0, s1, s2))
+        db = self._bc_ind_blocked.astype(data.dtype)
         cls_id = {c: i for i, c in enumerate(self._classes)}
         for m, (cr, cc, off) in enumerate(self.trips):
             if cr == cc and off == (0, 0, 0):
-                data = data.at[m].add(db[cls_id[cr]])
+                data = data.at[m].add(diagval * db[cls_id[cr]])
         return data
 
     def _assemble_fold_lean_blocked(self, jitter, diagval, keep_blocked):
@@ -1353,18 +1474,26 @@ class CompiledLatticeForm:
         return LatticeOperator(
             dia, jnp.zeros((0,), Ae.dtype), None, None, self.V.num_dofs,
             diagval=diagval, fold_axis=self._fold_axis, fold_mask=self._fold_mask,
+            fold_mask_b=self._fold_mask_blocked,
         )
 
     def _assemble_fold_lean_blocked_pallas(self, jitter, diagval, keep_blocked):
         """Blocked contract via the fused pallas kernel
         (ops/pallas_lattice.py:make_lean_blocked_pallas)."""
-        data = self._pallas_raw(jitter)  # (n_trip, s0, s1, s2) unmasked
-        data = self._zero_bc_blocked(data, keep_blocked)
-        data = self._diag_adds_blocked(data, diagval)
+        if getattr(self, "_pallas_fused", False):
+            # BC row/col masks AND the diagval bc-diagonal add applied
+            # inside the kernel: one HBM pass writes the final operator
+            data = self._pallas_raw(jitter, keep_blocked, diagval,
+                                    self._bc_ind_blocked)
+        else:
+            data = self._pallas_raw(jitter)  # (n_trip, s0, s1, s2) unmasked
+            data = self._zero_bc_blocked(data, keep_blocked)
+            data = self._diag_adds_blocked(data, diagval)
         dia = BlockDIAMatrix(data, self.trips, self.vshape, self.r3, self.bs)
         return LatticeOperator(
             dia, jnp.zeros((0,), data.dtype), None, None, self.V.num_dofs,
             diagval=diagval, fold_axis=self._fold_axis, fold_mask=self._fold_mask,
+            fold_mask_b=self._fold_mask_blocked,
         )
 
     def _assemble_fold_lean(self, jitter, diagval, keep_grid):
@@ -1394,11 +1523,17 @@ class CompiledLatticeForm:
         """Same contract as _assemble_fold_lean, via the fused pallas kernel
         (ops/pallas_lattice.py; verified entry-identical in
         tests/test_pallas_lattice.py)."""
-        data = self._pallas_raw(jitter)  # (n_off * bs * bs, n0, n1, n2) unmasked
         n0, n1, n2 = self.vshape
-        data = data.reshape(len(self.offsets), self.bs, self.bs, n0, n1, n2)
-        data = self._zero_bc_on_grid(data, keep_grid)
-        data = self._diag_adds(data, diagval)
+        if getattr(self, "_pallas_fused", False):
+            # masks + diagval fused in-kernel: one HBM pass
+            data = self._pallas_raw(jitter, keep_grid, diagval,
+                                    self._bc_ind_grid)
+            data = data.reshape(len(self.offsets), self.bs, self.bs, n0, n1, n2)
+        else:
+            data = self._pallas_raw(jitter)  # (n_off*bs*bs, n0, n1, n2) unmasked
+            data = data.reshape(len(self.offsets), self.bs, self.bs, n0, n1, n2)
+            data = self._zero_bc_on_grid(data, keep_grid)
+            data = self._diag_adds(data, diagval)
         dia = DIAMatrix(data, self.offsets, self.vshape, self.bs)
         return LatticeOperator(
             dia, jnp.zeros((0,), data.dtype), None, None, self.V.num_dofs,

@@ -111,13 +111,25 @@ def pallas_supported(clf) -> bool:
     return _probe_constant_M(clf.term, clf.mesh.gdim, clf.bs) is not None
 
 
-def make_lean_fold_pallas(clf, interpret=False, max_off=None):
-    """Build assemble(jitter) -> UNMASKED data (n_off * bs * bs, n0, n1, n2)
+def make_lean_fold_pallas(clf, interpret=False, max_off=None, fuse_mask=False):
+    """Build assemble(jitter[, kb]) -> data (n_off * bs * bs, n0, n1, n2)
     with plane order (offset, test component ci, trial component cj) —
     reshape to DIAMatrix's (n_off, bs, bs, n0, n1, n2).
 
-    BC row/col masking + diagval stay in XLA (measured ~0.08 ms at n=64;
-    Mosaic cannot lower the shifted-mask pads yet).
+    fuse_mask=False (default): UNMASKED data; BC row/col masking + diagval
+    stay in XLA.  That is ~0.08 ms at P1 n=64 but the BLOCKED degree-2
+    masking is 230 sequential .at[m].multiply passes — measured 4.5 ms of
+    the 4.53 ms assembly (scripts/probe_p2_asm_phases.py, r4).
+
+    fuse_mask=True (r == 1 only): assemble(jitter, kb) applies the BC
+    row/col masks INSIDE the kernel.  kb is the keep stack
+    (n_stack, n0, n1, n2) — keep_blocked (class-major) for the blocked
+    degree-2 view, keep_grid (component-major) otherwise; it is halo-padded
+    by 1 here (XLA pad, one cheap pass over ~10 MB) so every shifted column
+    mask is a static in-VMEM slice (the jnp.pad that Mosaic could not lower
+    is gone).  Entry (r, r+off) dies iff either end is a bc dof — exactly
+    _zero_bc_blocked / _zero_bc_on_grid; diagval stays in XLA (touches only
+    the diagonal planes).
 
     The output plane block is double-buffered by the pallas pipeline; when
     2 * n_off * n1 * n2 * 4B would blow the ~16MB VMEM budget (n >= ~200),
@@ -126,24 +138,130 @@ def make_lean_fold_pallas(clf, interpret=False, max_off=None):
     n0, n1, n2 = clf.vshape
     offsets = clf.offsets
     n_off = len(offsets)
-    # offsets per call bounded by the 16MB scoped-VMEM limit (tile-padded);
-    # each offset owns bs^2 output planes
+    if fuse_mask:
+        assert clf.refine == 1, "fused masking is an r==1 feature"
+    n_stack = len(clf._classes) if _is_blocked_view(clf) else clf.bs
+    fuse_mode = None
+    if fuse_mask:
+        fuse_mode = _detect_factored_masks(clf)
+        if fuse_mode is None:
+            # non-separable masks: the 2D-plane mask kernel keeps 4 full
+            # stacks resident — only viable while they fit VMEM
+            padded2 = (-(-(n1 + 2) // 8) * 8) * (-(-(n2 + 2) // 128) * 128) * 4
+            if 13e6 - 4 * n_stack * padded2 * 2 > 8 * 2 * padded2:
+                fuse_mode = "2d"
+        if fuse_mode is None:
+            fuse_mask = False  # fall back to unfused + XLA masking
     if max_off is None:
-        max_off = max(1, _plane_budget(n1, n2) // (clf.bs * clf.bs))
-    if max_off >= n_off:
-        return _make_lean_fold_pallas_group(clf, list(range(n_off)), interpret)
-    groups = [list(range(i, min(i + max_off, n_off))) for i in range(0, n_off, max_off)]
-    calls = [_make_lean_fold_pallas_group(clf, g, interpret) for g in groups]
+        if fuse_mode == "2d":
+            # direct accounting (the assembler's 26-bytes/point heuristic
+            # was calibrated on the r=2 upsampling kernel and over-reserves
+            # ~4x here): double-buffered out planes next to 3 mask stacks +
+            # 1 bc-indicator stack
+            padded = (-(-(n1 + 2) // 8) * 8) * (-(-(n2 + 2) // 128) * 128) * 4
+            avail = 13e6 - 4 * n_stack * padded * 2
+            max_off = max(1, int(avail / (2 * padded)) // (clf.bs * clf.bs))
+        elif fuse_mode == "factored":
+            # factored masks cost ~KBs of VMEM: out planes are the budget
+            padded = (-(-n1 // 8) * 8) * (-(-n2 // 128) * 128) * 4
+            max_off = max(1, int(13e6 / (2 * padded)) // (clf.bs * clf.bs))
+        else:
+            # offsets per call bounded by the 16MB scoped-VMEM limit
+            # (tile-padded); each offset owns bs^2 output planes
+            max_off = max(1, _plane_budget(n1, n2) // (clf.bs * clf.bs))
+    groups = [list(range(i, min(i + max_off, n_off)))
+              for i in range(0, n_off, max_off)]
+    calls = [_make_lean_fold_pallas_group(clf, g, interpret, fuse_mode)
+             for g in groups]
 
-    def assemble(jitter):
-        return jnp.concatenate([c(jitter) for c in calls], axis=0)
+    if not fuse_mask:
+        if len(calls) == 1:
+            return calls[0]
 
-    return assemble
+        def assemble(jitter):
+            return jnp.concatenate([c(jitter) for c in calls], axis=0)
+
+        return assemble
+
+    if fuse_mode == "factored":
+        # mask factors are baked constants (KBs); the traced kb/bc_ind args
+        # are accepted for interface parity and ignored (they are constant
+        # by contract — the factors came from the same concrete arrays)
+        def assemble_factored(jitter, kb, diagval, bc_ind):
+            dv = jnp.asarray(diagval, jnp.float32)
+            outs = [c(jitter, dv) for c in calls]
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+        return assemble_factored
+
+    def assemble_masked(jitter, kb, diagval, bc_ind):
+        kbp = jnp.pad(kb.astype(jnp.float32),
+                      ((0, 0), (1, 1), (1, 1), (1, 1)))
+        dv = jnp.asarray(diagval, jnp.float32)
+        outs = [c(jitter, kbp, dv, bc_ind) for c in calls]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    return assemble_masked
 
 
-def _make_lean_fold_pallas_group(clf, oid_group, interpret=False):
+def _detect_factored_masks(clf):
+    """Return "factored" when the keep stack separates into per-axis
+    factors (keep[c] == ki[c] ⊗ kj[c] ⊗ kk[c] exactly — true for
+    axis-aligned Dirichlet planes, the overwhelmingly common box-mesh case)
+    AND the bc indicator equals pad - keep (multiplicity 1 everywhere, with
+    pad the separable real-slot indicator).  The factored kernel's masks
+    cost KBs of VMEM instead of 4 full plane stacks, so fused masking then
+    scales to any n (the 2D variant stops fitting at n ≈ 80 for the
+    8-class blocked layout).  Stores the factors on the clf."""
+    kb = np.asarray(clf._keep_blocked if _is_blocked_view(clf)
+                    else clf._keep_grid, np.float64)
+    ind = np.asarray(clf._bc_ind_blocked if _is_blocked_view(clf)
+                     else clf._bc_ind_grid, np.float64)
+    ki = kb.max(axis=(2, 3))
+    kj = kb.max(axis=(1, 3))
+    kk = kb.max(axis=(1, 2))
+    if not np.array_equal(
+            kb, ki[:, :, None, None] * kj[:, None, :, None] * kk[:, None, None, :]):
+        return None
+    # pad (real-slot) indicator factors: blocked classes pad per axis; the
+    # grid layout has no padding
+    if _is_blocked_view(clf):
+        r3 = clf.r3
+        fine = clf._clf.vshape
+        S = kb.shape[1:]
+        pi = np.zeros((kb.shape[0], S[0]))
+        pj = np.zeros((kb.shape[0], S[1]))
+        pk = np.zeros((kb.shape[0], S[2]))
+        for c, pc in enumerate(clf._classes):
+            pi[c, : -(-(fine[0] - pc[0]) // r3[0])] = 1.0
+            pj[c, : -(-(fine[1] - pc[1]) // r3[1])] = 1.0
+            pk[c, : -(-(fine[2] - pc[2]) // r3[2])] = 1.0
+    else:
+        pi = np.ones_like(ki)
+        pj = np.ones_like(kj)
+        pk = np.ones_like(kk)
+    if not np.array_equal(
+            ind,
+            pi[:, :, None, None] * pj[:, None, :, None] * pk[:, None, None, :]
+            - kb):
+        return None  # multiplicity > 1 or keep zeros beyond bc+pad
+    # halo-pad the axis factors by 1 (shifted column-mask reads)
+    clf._mask_factors = tuple(
+        jnp.asarray(np.pad(f, ((0, 0), (1, 1))).astype(np.float32))
+        for f in (ki, kj, kk, pi, pj, pk))
+    return "factored"
+
+
+def _is_blocked_view(clf):
+    return isinstance(clf, _BlockedView)
+
+
+def _make_lean_fold_pallas_group(clf, oid_group, interpret=False,
+                                 fuse_mode=None):
     """Pallas call computing the DIA planes for the offset ids in
-    `oid_group` (a contiguous range).
+    `oid_group` (a contiguous range).  fuse_mode: None (unmasked raw
+    output), "2d" (BC masks as plane stacks in VMEM), or "factored"
+    (separable per-axis mask factors — KBs of VMEM, scales to any n).
 
     General scalar constant-coefficient forms via the probed feature matrix
     M (features [value, dx, dy, dz]): Ae[a][b] = sum_qp w |det| sum_{f,g}
@@ -201,6 +319,30 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False):
         if oid in oid_set:
             by_dax[dax].append((t, a, b, oid_local[oid], day, daz))
 
+    # fused BC masking (r == 1): per flat output plane, which mask-stack
+    # rows multiply it — (row_idx, col_idx, spatial offset).  The stack is
+    # class-major (blocked degree-2 view) or component-major (keep_grid).
+    if fuse_mode is not None:
+        assert r == 1
+        if _is_blocked_view(clf):
+            cid = {c: i for i, c in enumerate(clf._classes)}
+            mask_info = [(cid[cr], cid[cc], off)
+                         for oid in oid_group
+                         for (cr, cc, off) in [clf.offsets[oid]]]
+            # planes receiving the diagval bc-diagonal add
+            is_diag = [cr == cc and off == (0, 0, 0)
+                       for oid in oid_group
+                       for (cr, cc, off) in [clf.offsets[oid]]]
+            n_stack = len(clf._classes)
+        else:
+            mask_info = [(ci, cj, clf.offsets[oid])
+                         for oid in oid_group
+                         for ci in range(bs) for cj in range(bs)]
+            is_diag = [ci == cj and clf.offsets[oid] == (0, 0, 0)
+                       for oid in oid_group
+                       for ci in range(bs) for cj in range(bs)]
+            n_stack = bs
+
     # ---- trace-time scalar reduction -----------------------------------
     # The lean contract is a UNIFORM lattice whose only runtime input is the
     # scalar jitter s = 1 + jit: every vertex coordinate is s * (const), so
@@ -245,6 +387,198 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False):
                     keyg = ((oid * bs + ci) * bs + cj, day, daz)
                     acc = scalar_groups[dax].setdefault(keyg, np.zeros(3))
                     acc += c
+
+    if fuse_mode is not None:
+        # regroup per flat output plane: [(dax, day, daz, c), ...]
+        per_plane = {}
+        for dax in range(r + 1):
+            for (foid, day, daz), c in scalar_groups[dax].items():
+                per_plane.setdefault(foid, []).append((dax, day, daz, c))
+
+    if fuse_mode == "factored":
+        ki, kj, kk, pi, pj, pk = clf._mask_factors  # halo-padded (n_stack, S+2)
+
+        def kernel_factored(jit_ref, dv_ref, ki_m, ki_0, ki_p, pi_0,
+                            kj_ref, kk_ref, pj_ref, pk_ref, out_ref):
+            p = pl.program_id(0)
+            s_ = 1.0 + jit_ref[0, 0]
+            dv = dv_ref[0, 0]
+            pw = (s_ * s_ * s_, s_ * s_, s_)
+            ki_refs = (ki_m, ki_0, ki_p)  # x factor at fine planes p-1, p, p+1
+            jj = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
+            kk_i = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
+            wins = {}
+            for entries in per_plane.values():
+                for _, day, daz, _c in entries:
+                    if (day, daz) not in wins:
+                        wins[(day, daz)] = (
+                            (jj >= day) & (jj < day + ny)
+                            & (kk_i >= daz) & (kk_i < daz + nz)
+                        ).astype(jnp.float32)
+            wdax = [jnp.where((p - dax >= 0) & (p - dax < nx), 1.0, 0.0)
+                    for dax in range(r + 1)]
+            zero = jnp.zeros((n1, n2), jnp.float32)
+            # shared per-(row, col, shift) 1D mask products
+            jprods, kprods = {}, {}
+            for mi in range(len(mask_info)):
+                acc = None
+                for dax, day, daz, c in per_plane.get(mi, ()):
+                    val = None
+                    for k in range(3):
+                        if c[k] == 0.0:
+                            continue
+                        t = jnp.float32(c[k]) * pw[k]
+                        val = t if val is None else val + t
+                    if val is None:
+                        continue
+                    t = (wdax[dax] * val) * wins[(day, daz)]
+                    acc = t if acc is None else acc + t
+                ri, ci_, (di, dj, dk) = mask_info[mi]
+                if acc is None:
+                    out_ref[mi, 0] = zero
+                    continue
+                jkey = (ri, ci_, dj)
+                if jkey not in jprods:
+                    jprods[jkey] = (kj_ref[ri, 1:1 + n1]
+                                    * kj_ref[ci_, 1 + dj:1 + dj + n1])
+                kkey = (ri, ci_, dk)
+                if kkey not in kprods:
+                    kprods[kkey] = (kk_ref[ri, 1:1 + n2]
+                                    * kk_ref[ci_, 1 + dk:1 + dk + n2])
+                ix = ki_refs[1][ri, 0] * ki_refs[1 + di][ci_, 0]
+                res = (acc * ix) * (jprods[jkey][:, None] * kprods[kkey][None, :])
+                if is_diag[mi]:
+                    # diagval * (pad - keep) on the diagonal: both separable
+                    res = res + dv * (
+                        pi_0[ri, 0] * (pj_ref[ri, 1:1 + n1][:, None]
+                                       * pk_ref[ri, 1:1 + n2][None, :])
+                        - ki_refs[1][ri, 0] * (kj_ref[ri, 1:1 + n1][:, None]
+                                               * kk_ref[ri, 1:1 + n2][None, :]))
+                out_ref[mi, 0] = res
+
+        n_pl = len(mask_info)
+        grid_spec = pl.GridSpec(
+            grid=(n0,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda p: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda p: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ] + [
+                pl.BlockSpec((n_stack, 1), (lambda p, s=s: (0, p + s)),
+                             memory_space=pltpu.VMEM)
+                for s in range(3)
+            ] + [
+                pl.BlockSpec((n_stack, 1), lambda p: (0, p + 1),
+                             memory_space=pltpu.VMEM),
+            ] + [
+                pl.BlockSpec(f.shape, lambda p: (0, 0),
+                             memory_space=pltpu.VMEM)
+                for f in (kj, kk, pj, pk)
+            ],
+            out_specs=pl.BlockSpec(
+                (n_pl, 1, n1, n2), lambda p: (0, p, 0, 0),
+                memory_space=pltpu.VMEM),
+        )
+        call = pl.pallas_call(
+            kernel_factored,
+            out_shape=jax.ShapeDtypeStruct((n_pl, n0, n1, n2), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )
+
+        def assemble_factored(jitter, dv):
+            j = jnp.asarray(jitter, jnp.float32).reshape(1, 1)
+            return call(j, dv.reshape(1, 1), ki, ki, ki, pi, kj, kk, pj, pk)
+
+        return assemble_factored
+
+    if fuse_mode == "2d":
+
+        def kernel_masked(jit_ref, dv_ref, kb_m, kb_0, kb_p, ind_ref, out_ref):
+            p = pl.program_id(0)
+            s_ = 1.0 + jit_ref[0, 0]
+            dv = dv_ref[0, 0]
+            pw = (s_ * s_ * s_, s_ * s_, s_)
+            kb_refs = (kb_m, kb_0, kb_p)  # fine x-planes p-1, p, p+1
+            jj = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
+            kk = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
+            # distinct (day, daz) window masks and dax plane validity,
+            # hoisted (shared across the ~n_pl planes)
+            wins = {}
+            for entries in per_plane.values():
+                for _, day, daz, _c in entries:
+                    if (day, daz) not in wins:
+                        wins[(day, daz)] = (
+                            (jj >= day) & (jj < day + ny)
+                            & (kk >= daz) & (kk < daz + nz)
+                        ).astype(jnp.float32)
+            wdax = [jnp.where((p - dax >= 0) & (p - dax < nx), 1.0, 0.0)
+                    for dax in range(r + 1)]
+            zero = jnp.zeros((n1, n2), jnp.float32)
+            for mi in range(len(mask_info)):
+                acc = None
+                for dax, day, daz, c in per_plane.get(mi, ()):
+                    val = None
+                    for k in range(3):
+                        if c[k] == 0.0:
+                            continue
+                        t = jnp.float32(c[k]) * pw[k]
+                        val = t if val is None else val + t
+                    if val is None:
+                        continue
+                    t = (wdax[dax] * val) * wins[(day, daz)]
+                    acc = t if acc is None else acc + t
+                ri, ci_, (di, dj, dk) = mask_info[mi]
+                if acc is None:
+                    out_ref[mi, 0] = zero
+                    continue
+                row = kb_refs[1][ri, 0, 1:1 + n1, 1:1 + n2]
+                col = kb_refs[1 + di][ci_, 0,
+                                      1 + dj:1 + dj + n1,
+                                      1 + dk:1 + dk + n2]
+                res = acc * row * col
+                if is_diag[mi]:
+                    # diagval on bc diagonals, fused (the XLA .at[m].add on
+                    # a multi-call concat output cost ~2.3 ms at n=64)
+                    res = res + dv * ind_ref[ri, 0]
+                out_ref[mi, 0] = res
+
+        n_pl = len(mask_info)
+        grid_spec = pl.GridSpec(
+            grid=(n0,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda p: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda p: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ] + [
+                pl.BlockSpec((n_stack, 1, n1 + 2, n2 + 2),
+                             (lambda p, s=s: (0, p + s, 0, 0)),
+                             memory_space=pltpu.VMEM)
+                for s in range(3)
+            ] + [
+                pl.BlockSpec((n_stack, 1, n1, n2), lambda p: (0, p, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (n_pl, 1, n1, n2), lambda p: (0, p, 0, 0),
+                memory_space=pltpu.VMEM),
+        )
+        call = pl.pallas_call(
+            kernel_masked,
+            out_shape=jax.ShapeDtypeStruct((n_pl, n0, n1, n2), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )
+
+        def assemble_masked(jitter, kbp, dv, bc_ind):
+            # kbp: halo-padded keep stack (n_stack, n0+2, n1+2, n2+2);
+            # bc_ind: bc-dof multiplicity stack (n_stack, n0, n1, n2)
+            j = jnp.asarray(jitter, jnp.float32).reshape(1, 1)
+            return call(j, dv.reshape(1, 1), kbp, kbp, kbp, bc_ind)
+
+        return assemble_masked
 
     def kernel(jit_ref, out_ref):
         p = pl.program_id(0)
@@ -343,8 +677,10 @@ class _BlockedView:
         return getattr(self._clf, k)
 
 
-def make_lean_blocked_pallas(clf, interpret=False, max_off=None):
-    return make_lean_fold_pallas(_BlockedView(clf), interpret, max_off)
+def make_lean_blocked_pallas(clf, interpret=False, max_off=None,
+                             fuse_mask=False):
+    return make_lean_fold_pallas(_BlockedView(clf), interpret, max_off,
+                                 fuse_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -581,7 +917,16 @@ def make_blocked_matvec_pallas(trips, vshape, r3, interpret=False, max_m=None):
             # rolled+masked source planes depend only on (src class, offset)
             # and are SHARED across triples (230 triples -> ~70 unique
             # sources): hoisting the rolls/masks cuts the per-step op count
-            # ~3x — the kernel is roll/permute-bound, not FMA-bound
+            # ~3x — the kernel is roll/permute-bound, not FMA-bound.
+            # The VALIDITY masks depend only on (dj, dk) — at most 9
+            # distinct — so they are hoisted one level further still.
+            valids = {}
+            for _, (_, _, off) in sub:
+                vkey = (off[1], off[2])
+                if vkey not in valids:
+                    valids[vkey] = ((jj + off[1] >= 0) & (jj + off[1] < s1)
+                                    & (kk + off[2] >= 0)
+                                    & (kk + off[2] < s2)).astype(jnp.float32)
             srcs = {}
             acc = [None] * n_cls
             for mi, (gm, (cr, cc, off)) in enumerate(sub):
@@ -593,9 +938,7 @@ def make_blocked_matvec_pallas(trips, vshape, r3, interpret=False, max_m=None):
                         sh = pltpu.roll(sh, -off[1] % s1, 0)
                     if off[2]:
                         sh = pltpu.roll(sh, -off[2] % s2, 1)
-                    valid = ((jj + off[1] >= 0) & (jj + off[1] < s1)
-                             & (kk + off[2] >= 0) & (kk + off[2] < s2))
-                    srcs[skey] = jnp.where(valid, sh, 0.0)
+                    srcs[skey] = valids[(off[1], off[2])] * sh
                 term = d_ref[mi, 0] * srcs[skey]
                 acc[ci] = term if acc[ci] is None else acc[ci] + term
             zero = jnp.zeros((s1, s2), jnp.float32)

@@ -98,13 +98,20 @@ def chain(body):
     return run
 
 
-variants = {
-    "raw": chain(lambda j: raw(j)),
-    "raw+bc": chain(lambda j: clf._zero_bc_blocked(raw(j), keepg)),
-    "full": chain(lambda j: clf._diag_adds_blocked(
-        clf._zero_bc_blocked(raw(j), keepg), dv)),
-    "zeros": chain(lambda j: jnp.full((n_trip, s0, s1, s2), j, jnp.float32)),
-}
+if getattr(clf, "_pallas_fused", False):
+    variants = {
+        "fused": chain(lambda j: raw(j, keepg)),
+        "full": chain(lambda j: clf._assemble(j, dv, keepg).dia.data),
+    }
+else:
+    variants = {
+        "raw": chain(lambda j: raw(j)),
+        "raw+bc": chain(lambda j: clf._zero_bc_blocked(raw(j), keepg)),
+        "full": chain(lambda j: clf._diag_adds_blocked(
+            clf._zero_bc_blocked(raw(j), keepg), dv)),
+        "zeros": chain(lambda j: jnp.full((n_trip, s0, s1, s2), j,
+                                          jnp.float32)),
+    }
 
 for name, run in variants.items():
     np.asarray(run(jnp.float32(0.0), 1))  # compile+warm
