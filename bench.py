@@ -547,7 +547,12 @@ def main():
         # transposes (4.8 ms/matvec at 2.1M dofs, probe r4) happen once per
         # V-cycle at the level-0/1 transfer instead of per sweep
         blocked_mode = clf._blocked_lean and ops[0].supports_blocked()
-        M = LatticeGMG(ops, free_masks=masks, blocked_io=blocked_mode, **gkw)
+        # chebyshev smoothing (GAMG/hypre's default): measured 34 -> 18 its
+        # on bs=3 elasticity and 16 -> 10 on P1 at equal sweep counts (r4)
+        smoother = os.environ.get("BENCH_SMOOTHER", "chebyshev")
+        n_sw = 3 if bs > 1 else 2
+        M = LatticeGMG(ops, free_masks=masks, blocked_io=blocked_mode,
+                       smoother=smoother, n_pre=n_sw, n_post=n_sw, **gkw)
         if not gkw and M._bounds is not None:
             try:
                 xtra = {"bounds": np.asarray(M._bounds, np.float64)}

@@ -146,7 +146,7 @@ class LatticeGMG:
     def __init__(self, ops, n_pre=2, n_post=2, omega="auto", coarse_iters=30,
                  free_masks=None, coarse="auto", coarse_inv=None,
                  dense_max=8192, cheb_degree=40, bounds=None,
-                 blocked_io=False):
+                 blocked_io=False, smoother="jacobi"):
         self.ops = ops
         self.n_pre, self.n_post = n_pre, n_post
         self.coarse_iters = coarse_iters
@@ -182,7 +182,8 @@ class LatticeGMG:
         # being an SPD preconditioner (CG stalls): Poisson has lmax = 2
         # (-> the classic 0.8), but P1 elasticity measures lmax = 3.71 and
         # a fixed 0.8 broke the bs=3 bench solve (3000 its, rnorm 1e-1).
-        need_bounds = omega == "auto" or coarse in ("auto", "chebyshev")
+        need_bounds = (omega == "auto" or coarse in ("auto", "chebyshev")
+                       or smoother == "chebyshev")
         if bounds is None and need_bounds:
             bounds = _gershgorin_bounds(ops, flat_inv)
         self._bounds = bounds
@@ -190,6 +191,23 @@ class LatticeGMG:
             self.omegas = tuple(1.6 / max(l, 2.0) for l in bounds)
         else:
             self.omegas = (float(omega),) * len(ops)
+        # smoother="chebyshev": degree-(n_sweeps+1) Chebyshev-Jacobi
+        # polynomial on [lmax/4, lmax] of D^-1 A per level — GAMG/hypre's
+        # default smoother and MUCH stronger than fixed-omega Jacobi on
+        # elasticity (the bs=3 V-cycle was the r3 weak #1: 51 its).  The
+        # polynomial p(D^-1 A) D^-1 is symmetric, so pre==post keeps the
+        # V-cycle an SPD preconditioner for plain CG.
+        if smoother not in ("jacobi", "chebyshev"):
+            raise ValueError(f"unknown smoother {smoother!r}")
+        self.smoother = smoother
+        self._cheb_sm = None
+        if smoother == "chebyshev":
+            prs = []
+            for l in bounds:
+                lmax = 1.05 * max(l, 1e-30)
+                lmin = lmax / 4.0
+                prs.append(((lmax + lmin) / 2.0, (lmax - lmin) / 2.0))
+            self._cheb_sm = tuple(prs)
         # coarse solve selection (see class docstring)
         nc = ops[-1].shape[0]
         if coarse == "auto":
@@ -229,6 +247,24 @@ class LatticeGMG:
         om = self.omegas[lvl]
         mv = (A.matvec_blocked if lvl == 0 and self.blocked_io
               else A.matvec)
+        if self.smoother == "chebyshev":
+            # degree-(n_sweeps+1) Chebyshev on [lmax/4, lmax] of D^-1 A,
+            # applied to the residual (supports a nonzero incoming x)
+            theta, delta = self._cheb_sm[lvl]
+            r0 = b - mv(x)
+            rr = inv * r0
+            z = rr / theta
+            res = rr - inv * mv(z)
+            d = res / theta
+            sigma = theta / delta
+            rho = 1.0 / sigma
+            for _ in range(n_sweeps):
+                rho_new = 1.0 / (2 * sigma - rho)
+                d = rho_new * rho * d + 2 * rho_new / delta * res
+                z = z + d
+                res = res - inv * mv(d)
+                rho = rho_new
+            return x + z
 
         def body(_, xi):
             return xi + om * inv * (b - mv(xi))
@@ -345,7 +381,8 @@ class LatticeGMG:
     def tree_flatten(self):
         ch = (self.ops, self.free_masks, self._inv_diag, self.coarse_inv)
         aux = (self.n_pre, self.n_post, self.omegas, self.coarse_iters,
-               self.coarse_mode, self._cheb, self.blocked_io)
+               self.coarse_mode, self._cheb, self.blocked_io,
+               self.smoother, self._cheb_sm)
         return ch, aux
 
     @classmethod
@@ -353,7 +390,8 @@ class LatticeGMG:
         obj = cls.__new__(cls)
         obj.ops, obj.free_masks, obj._inv_diag, obj.coarse_inv = ch
         (obj.n_pre, obj.n_post, obj.omegas, obj.coarse_iters,
-         obj.coarse_mode, obj._cheb, obj.blocked_io) = aux
+         obj.coarse_mode, obj._cheb, obj.blocked_io,
+         obj.smoother, obj._cheb_sm) = aux
         obj._bounds = None
         return obj
 

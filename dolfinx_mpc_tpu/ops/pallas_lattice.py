@@ -465,12 +465,14 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False,
                 pl.BlockSpec((1, 1), lambda p: (0, 0),
                              memory_space=pltpu.SMEM),
             ] + [
+                # x-axis factors: one scalar per stack row per plane — SMEM
+                # (VMEM blocks must tile to (8, 128))
                 pl.BlockSpec((n_stack, 1), (lambda p, s=s: (0, p + s)),
-                             memory_space=pltpu.VMEM)
+                             memory_space=pltpu.SMEM)
                 for s in range(3)
             ] + [
                 pl.BlockSpec((n_stack, 1), lambda p: (0, p + 1),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.SMEM),
             ] + [
                 pl.BlockSpec(f.shape, lambda p: (0, 0),
                              memory_space=pltpu.VMEM)

@@ -123,6 +123,35 @@ def test_gmg_p2_p_coarsened_hierarchy():
         assert itg <= 25, int(itg)
 
 
+def test_gmg_chebyshev_smoother():
+    """smoother="chebyshev" (GAMG/hypre default) must stay a symmetric
+    preconditioner (CG converges to the same answer) and beat Jacobi
+    smoothing at equal sweep counts (measured 16 -> 10 its on P1, 34 -> 18
+    on bs=3 elasticity, r4)."""
+    import jax.numpy as jnp
+
+    n = 16
+    clf, V = _make_deg(n, 1)
+    ops, masks = build_gmg_hierarchy(lambda m: _make_deg(m, 1)[0], n, 3,
+                                     min_n=4)
+    A = ops[0]
+    b = jnp.asarray(np.random.default_rng(7).standard_normal(V.num_dofs))
+    Mj = LatticeGMG(ops, free_masks=masks, smoother="jacobi")
+    xj, itj, _ = cg(A.matvec, b, M=Mj, rtol=1e-10, max_it=300)
+    Mc = LatticeGMG(ops, free_masks=masks, smoother="chebyshev")
+    xc, itc, _ = cg(A.matvec, b, M=Mc, rtol=1e-10, max_it=300)
+    nrm = np.abs(np.asarray(xj)).max()
+    assert np.abs(np.asarray(xc) - np.asarray(xj)).max() < 1e-7 * nrm
+    assert itc < itj, (int(itc), int(itj))
+    # preconditioner symmetry: <Mu, v> == <u, Mv>
+    rng = np.random.default_rng(8)
+    u = jnp.asarray(rng.standard_normal(V.num_dofs))
+    v = jnp.asarray(rng.standard_normal(V.num_dofs))
+    lhs = float(jnp.vdot(Mc(u), v))
+    rhs = float(jnp.vdot(u, Mc(v)))
+    assert abs(lhs - rhs) < 1e-9 * max(abs(lhs), 1.0)
+
+
 def test_gmg_blocked_native_solve_matches_flat():
     """blocked_io GMG-CG (vectors in the padded class-major stack, the r4
     production layout for degree 2 — kills the 4.8 ms/matvec layout
