@@ -398,13 +398,12 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False,
     if fuse_mode == "factored":
         ki, kj, kk, pi, pj, pk = clf._mask_factors  # halo-padded (n_stack, S+2)
 
-        def kernel_factored(jit_ref, dv_ref, ki_m, ki_0, ki_p, pi_0,
+        def kernel_factored(jit_ref, dv_ref, ki_ref, pi_ref,
                             kj_ref, kk_ref, pj_ref, pk_ref, out_ref):
             p = pl.program_id(0)
             s_ = 1.0 + jit_ref[0, 0]
             dv = dv_ref[0, 0]
             pw = (s_ * s_ * s_, s_ * s_, s_)
-            ki_refs = (ki_m, ki_0, ki_p)  # x factor at fine planes p-1, p, p+1
             jj = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
             kk_i = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
             wins = {}
@@ -445,14 +444,18 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False,
                 if kkey not in kprods:
                     kprods[kkey] = (kk_ref[ri, 1:1 + n2]
                                     * kk_ref[ci_, 1 + dk:1 + dk + n2])
-                ix = ki_refs[1][ri, 0] * ki_refs[1 + di][ci_, 0]
+                # x factors live whole in SMEM ((n_stack, n0+2) f32 scalars,
+                # ~2 KB) and are indexed dynamically by the grid plane p —
+                # Mosaic rejects rank-2 SMEM *blocks* whose lane dim is
+                # neither 128-divisible nor the full array (r4 TPU run)
+                ix = ki_ref[ri, p + 1] * ki_ref[ci_, p + 1 + di]
                 res = (acc * ix) * (jprods[jkey][:, None] * kprods[kkey][None, :])
                 if is_diag[mi]:
                     # diagval * (pad - keep) on the diagonal: both separable
                     res = res + dv * (
-                        pi_0[ri, 0] * (pj_ref[ri, 1:1 + n1][:, None]
-                                       * pk_ref[ri, 1:1 + n2][None, :])
-                        - ki_refs[1][ri, 0] * (kj_ref[ri, 1:1 + n1][:, None]
+                        pi_ref[ri, p + 1] * (pj_ref[ri, 1:1 + n1][:, None]
+                                             * pk_ref[ri, 1:1 + n2][None, :])
+                        - ki_ref[ri, p + 1] * (kj_ref[ri, 1:1 + n1][:, None]
                                                * kk_ref[ri, 1:1 + n2][None, :]))
                 out_ref[mi, 0] = res
 
@@ -465,14 +468,11 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False,
                 pl.BlockSpec((1, 1), lambda p: (0, 0),
                              memory_space=pltpu.SMEM),
             ] + [
-                # x-axis factors: one scalar per stack row per plane — SMEM
-                # (VMEM blocks must tile to (8, 128))
-                pl.BlockSpec((n_stack, 1), (lambda p, s=s: (0, p + s)),
+                # x-axis factors: whole (n_stack, n0+2) scalar tables in SMEM,
+                # indexed dynamically by plane p inside the kernel
+                pl.BlockSpec(f.shape, lambda p: (0, 0),
                              memory_space=pltpu.SMEM)
-                for s in range(3)
-            ] + [
-                pl.BlockSpec((n_stack, 1), lambda p: (0, p + 1),
-                             memory_space=pltpu.SMEM),
+                for f in (ki, pi)
             ] + [
                 pl.BlockSpec(f.shape, lambda p: (0, 0),
                              memory_space=pltpu.VMEM)
@@ -491,7 +491,7 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False,
 
         def assemble_factored(jitter, dv):
             j = jnp.asarray(jitter, jnp.float32).reshape(1, 1)
-            return call(j, dv.reshape(1, 1), ki, ki, ki, pi, kj, kk, pj, pk)
+            return call(j, dv.reshape(1, 1), ki, pi, kj, kk, pj, pk)
 
         return assemble_factored
 
