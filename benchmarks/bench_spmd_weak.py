@@ -27,6 +27,7 @@ if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)  # the f64 table rows must BE f64
 
 import numpy as np
 

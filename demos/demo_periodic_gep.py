@@ -21,9 +21,14 @@ def main(n=16, nev=4, diagval=1e4):
     import jax
 
     # correctness demo (mirrors the reference's SLEPc verification): run in
-    # f64, which the axon/TPU backend silently truncates — pin to CPU
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+    # f64, which the axon/TPU backend silently truncates — pin to CPU.
+    # No-op under pytest (conftest already selects cpu+x64); guarded because
+    # jax refuses platform changes once a backend is live.
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    except RuntimeError:
+        pass
     import jax.numpy as jnp
 
     import dolfinx_mpc_tpu as dmt

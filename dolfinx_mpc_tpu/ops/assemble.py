@@ -129,6 +129,7 @@ class CompiledMatrixForm:
     tables: dict  # device arrays per term
     slaves_row: np.ndarray
     assemble_fn: object
+    values_fn: object = None  # flat entry values only (scatter bisection)
 
 
 def _mpc_pair(constraint):
@@ -298,7 +299,10 @@ def _compile_matrix(form: Form, constraint, dtype, cell_chunk=262144) -> Compile
             flat = jax.lax.fori_loop(0, n_chunks, body, flat0)
         return flat[: n_act * width]
 
-    def assemble_fn(tabs, coeff_vecs, bc_row_mask, bc_col_mask, bc_diag_vals, diagval):
+    def values_fn(tabs, coeff_vecs, bc_row_mask, bc_col_mask, bc_diag_vals, diagval):
+        """Flat per-entry values, concatenated in slot-table order (no
+        scatter) — separated from assemble_fn so the scatter stage can be
+        probed/bisected independently of the value computation."""
         vals_out = []
         for ti in range(n_terms):
             tb = tabs["terms"][ti]
@@ -313,13 +317,19 @@ def _compile_matrix(form: Form, constraint, dtype, cell_chunk=262144) -> Compile
         dv = jnp.real(diagval) if (jnp.iscomplexobj(diagval) and not jnp.issubdtype(out_dtype, jnp.complexfloating)) else diagval
         vals_out.append(jnp.full((slaves_row.shape[0],), dv, dtype=out_dtype))
         vals_out.append(bc_diag_vals[: all_dofs.shape[0]])
-        flat_vals = jnp.concatenate(vals_out) if vals_out else jnp.zeros(0)
+        return jnp.concatenate(vals_out) if vals_out else jnp.zeros(0)
+
+    def assemble_fn(tabs, coeff_vecs, bc_row_mask, bc_col_mask, bc_diag_vals, diagval):
+        flat_vals = values_fn(tabs, coeff_vecs, bc_row_mask, bc_col_mask,
+                              bc_diag_vals, diagval)
         data = jax.ops.segment_sum(flat_vals, tabs["slots"], num_segments=nnz + 1)
         return data[:nnz]
 
-    return CompiledMatrixForm(
+    cmf = CompiledMatrixForm(
         form, terms, tr_row, tr_col, pattern, slots_dev, tables, slaves_row, jax.jit(assemble_fn)
     )
+    cmf.values_fn = jax.jit(values_fn)
+    return cmf
 
 
 def _result_dtype(dtype):

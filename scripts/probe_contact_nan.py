@@ -102,7 +102,14 @@ print(f"1b. <u,Av>={uAv:.8e} <v,Au>={vAu:.8e} "
 from dolfinx_mpc_tpu.la.amg import smoothed_aggregation_amg
 
 t0 = time.time()
-M = smoothed_aggregation_amg(As, bs=3, dtype=np.float32, fine_op=E)
+ns = None
+if not os.environ.get("PROBE_NO_NULLSPACE"):
+    # match bench_contact_3D.py r4: all 6 rigid modes as the near-nullspace
+    from dolfinx_mpc_tpu.utils.mpc_utils import rigid_motions_nullspace
+
+    ns = rigid_motions_nullspace(V)
+M = smoothed_aggregation_amg(As, bs=3, dtype=np.float32, fine_op=E,
+                             nullspace=ns)
 print(f"2. AMG levels={len(M.ops) + 1} cheb={[(f'{lo:.3f}', f'{hi:.3f}') for lo, hi in M.cheb]} "
       f"setup={time.time() - t0:.1f}s", flush=True)
 Mu = M(u)
