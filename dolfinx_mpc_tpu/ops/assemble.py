@@ -299,10 +299,10 @@ def _compile_matrix(form: Form, constraint, dtype, cell_chunk=262144) -> Compile
             flat = jax.lax.fori_loop(0, n_chunks, body, flat0)
         return flat[: n_act * width]
 
-    def values_fn(tabs, coeff_vecs, bc_row_mask, bc_col_mask, bc_diag_vals, diagval):
-        """Flat per-entry values, concatenated in slot-table order (no
-        scatter) — separated from assemble_fn so the scatter stage can be
-        probed/bisected independently of the value computation."""
+    def _vals_blocks(tabs, coeff_vecs, bc_row_mask, bc_col_mask, bc_diag_vals, diagval):
+        """Per-entry value blocks in slot-table order: for each term the
+        non-slave and slave-cell classes, then the slave diagval fill, then
+        the bc-diagonal passthrough."""
         vals_out = []
         for ti in range(n_terms):
             tb = tabs["terms"][ti]
@@ -316,13 +316,45 @@ def _compile_matrix(form: Form, constraint, dtype, cell_chunk=262144) -> Compile
         out_dtype = vals_out[0].dtype if vals_out else jnp.asarray(diagval).dtype
         dv = jnp.real(diagval) if (jnp.iscomplexobj(diagval) and not jnp.issubdtype(out_dtype, jnp.complexfloating)) else diagval
         vals_out.append(jnp.full((slaves_row.shape[0],), dv, dtype=out_dtype))
-        vals_out.append(bc_diag_vals[: all_dofs.shape[0]])
+        vals_out.append(bc_diag_vals[: all_dofs.shape[0]].astype(out_dtype))
+        return vals_out
+
+    def values_fn(tabs, coeff_vecs, bc_row_mask, bc_col_mask, bc_diag_vals, diagval):
+        """Flat per-entry values, concatenated in slot-table order (no
+        scatter) — separated from assemble_fn so the scatter stage can be
+        probed/bisected independently of the value computation.
+
+        DIAGNOSTIC-ONLY on TPU at large sizes: XLA:TPU miscompiles this
+        concatenate at ~22M f32 total entries — the final (bc-diag
+        passthrough) operand's output region receives data aliased from the
+        sl-term block instead of bc_diag_vals (r4, NB=24/NT=20 contact:
+        15519/74658 wrong tail entries; clean at ~6.5M and on CPU, and an
+        optimization_barrier does NOT help).  assemble_fn therefore scatters
+        each block separately and never builds this concatenate.
+        Repro: scripts/probe_vals_dump.py + scripts/probe_concat_variants.py."""
+        vals_out = _vals_blocks(tabs, coeff_vecs, bc_row_mask, bc_col_mask,
+                                bc_diag_vals, diagval)
         return jnp.concatenate(vals_out) if vals_out else jnp.zeros(0)
 
     def assemble_fn(tabs, coeff_vecs, bc_row_mask, bc_col_mask, bc_diag_vals, diagval):
-        flat_vals = values_fn(tabs, coeff_vecs, bc_row_mask, bc_col_mask,
+        blocks = _vals_blocks(tabs, coeff_vecs, bc_row_mask, bc_col_mask,
                               bc_diag_vals, diagval)
-        data = jax.ops.segment_sum(flat_vals, tabs["slots"], num_segments=nnz + 1)
+        slots = tabs["slots"]
+        out_dtype = blocks[0].dtype if blocks else _result_dtype(dtype)
+        data = jnp.zeros((nnz + 1,), out_dtype)
+        ofs = 0
+        for blk in blocks:
+            n = blk.shape[0]
+            if n == 0:
+                continue
+            sl_ids = jax.lax.slice_in_dim(slots, ofs, ofs + n, axis=0)
+            if n > 4 * nnz:
+                # the big term blocks: one segment-sum pass each
+                data = data + jax.ops.segment_sum(blk, sl_ids, num_segments=nnz + 1)
+            else:
+                # small blocks (slave diagval fill, bc diagonal): scatter-add
+                data = data.at[sl_ids].add(blk)
+            ofs += n
         return data[:nnz]
 
     cmf = CompiledMatrixForm(
