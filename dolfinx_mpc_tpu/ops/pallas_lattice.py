@@ -397,6 +397,11 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False,
 
     if fuse_mode == "factored":
         ki, kj, kk, pi, pj, pk = clf._mask_factors  # halo-padded (n_stack, S+2)
+        # j-axis factors go in TRANSPOSED ((S+2, n_stack)) so every kernel
+        # slice is already 2-D: Mosaic cannot lower the (n,) -> (n, 1)
+        # tpu.reshape for unaligned n (first hit at n1=217, the 10.2M-dof
+        # n=216 config, r4d chain log).
+        kjT, pjT = kj.T, pj.T
 
         def kernel_factored(jit_ref, dv_ref, ki_ref, pi_ref,
                             kj_ref, kk_ref, pj_ref, pk_ref, out_ref):
@@ -436,27 +441,31 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False,
                 if acc is None:
                     out_ref[mi, 0] = zero
                     continue
+                # j factors are transposed ((S+2, n_stack)) so column slices
+                # come out (n1, 1); k factors stay row-major for (1, n2) —
+                # never materialize a 1-D vector (Mosaic can't reshape
+                # (n,) -> (n, 1) for unaligned n, e.g. 217 at n=216)
                 jkey = (ri, ci_, dj)
                 if jkey not in jprods:
-                    jprods[jkey] = (kj_ref[ri, 1:1 + n1]
-                                    * kj_ref[ci_, 1 + dj:1 + dj + n1])
+                    jprods[jkey] = (kj_ref[1:1 + n1, ri:ri + 1]
+                                    * kj_ref[1 + dj:1 + dj + n1, ci_:ci_ + 1])
                 kkey = (ri, ci_, dk)
                 if kkey not in kprods:
-                    kprods[kkey] = (kk_ref[ri, 1:1 + n2]
-                                    * kk_ref[ci_, 1 + dk:1 + dk + n2])
+                    kprods[kkey] = (kk_ref[ri:ri + 1, 1:1 + n2]
+                                    * kk_ref[ci_:ci_ + 1, 1 + dk:1 + dk + n2])
                 # x factors live whole in SMEM ((n_stack, n0+2) f32 scalars,
                 # ~2 KB) and are indexed dynamically by the grid plane p —
                 # Mosaic rejects rank-2 SMEM *blocks* whose lane dim is
                 # neither 128-divisible nor the full array (r4 TPU run)
                 ix = ki_ref[ri, p + 1] * ki_ref[ci_, p + 1 + di]
-                res = (acc * ix) * (jprods[jkey][:, None] * kprods[kkey][None, :])
+                res = (acc * ix) * (jprods[jkey] * kprods[kkey])
                 if is_diag[mi]:
                     # diagval * (pad - keep) on the diagonal: both separable
                     res = res + dv * (
-                        pi_ref[ri, p + 1] * (pj_ref[ri, 1:1 + n1][:, None]
-                                             * pk_ref[ri, 1:1 + n2][None, :])
-                        - ki_ref[ri, p + 1] * (kj_ref[ri, 1:1 + n1][:, None]
-                                               * kk_ref[ri, 1:1 + n2][None, :]))
+                        pi_ref[ri, p + 1] * (pj_ref[1:1 + n1, ri:ri + 1]
+                                             * pk_ref[ri:ri + 1, 1:1 + n2])
+                        - ki_ref[ri, p + 1] * (kj_ref[1:1 + n1, ri:ri + 1]
+                                               * kk_ref[ri:ri + 1, 1:1 + n2]))
                 out_ref[mi, 0] = res
 
         n_pl = len(mask_info)
@@ -476,7 +485,7 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False,
             ] + [
                 pl.BlockSpec(f.shape, lambda p: (0, 0),
                              memory_space=pltpu.VMEM)
-                for f in (kj, kk, pj, pk)
+                for f in (kjT, kk, pjT, pk)
             ],
             out_specs=pl.BlockSpec(
                 (n_pl, 1, n1, n2), lambda p: (0, p, 0, 0),
@@ -491,7 +500,7 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False,
 
         def assemble_factored(jitter, dv):
             j = jnp.asarray(jitter, jnp.float32).reshape(1, 1)
-            return call(j, dv.reshape(1, 1), ki, pi, kj, kk, pj, pk)
+            return call(j, dv.reshape(1, 1), ki, pi, kjT, kk, pjT, pk)
 
         return assemble_factored
 
