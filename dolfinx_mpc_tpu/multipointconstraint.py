@@ -288,17 +288,19 @@ class MultiPointConstraint:
         """In-place on a Function or array (reference
         multipointconstraint.py:586-606)."""
         self._require_finalized()
+        # copy=True: jnp.asarray may zero-copy the numpy buffer on CPU and
+        # the result is written back into that same buffer below
         if isinstance(u, Function):
-            u.x.array[:] = np.asarray(self.finalized.backsubstitution(jnp.asarray(u.x.array)))
+            u.x.array[:] = np.asarray(self.finalized.backsubstitution(jnp.array(u.x.array, copy=True)))
         else:
-            u[:] = np.asarray(self.finalized.backsubstitution(jnp.asarray(u)))
+            u[:] = np.asarray(self.finalized.backsubstitution(jnp.array(u, copy=True)))
 
     def homogenize(self, u) -> None:
         self._require_finalized()
         if isinstance(u, Function):
-            u.x.array[:] = np.asarray(self.finalized.homogenize(jnp.asarray(u.x.array)))
+            u.x.array[:] = np.asarray(self.finalized.homogenize(jnp.array(u.x.array, copy=True)))
         else:
-            u[:] = np.asarray(self.finalized.homogenize(jnp.asarray(u)))
+            u[:] = np.asarray(self.finalized.homogenize(jnp.array(u, copy=True)))
 
     def _require_finalized(self):
         if self.finalized is None:

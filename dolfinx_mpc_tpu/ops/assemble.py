@@ -141,7 +141,10 @@ def _mpc_pair(constraint):
 
 
 def _coeff_vectors(term):
-    return {n: jnp.asarray(f.x.array) for n, f in term.coefficients.items()}
+    # copy=True: jnp.asarray may zero-copy an aligned numpy buffer on CPU;
+    # with async dispatch, a user mutating f.x.array after this call could
+    # otherwise change what the pending assembly reads
+    return {n: jnp.array(f.x.array, copy=True) for n, f in term.coefficients.items()}
 
 
 def _compile_matrix(form: Form, constraint, dtype, cell_chunk=262144) -> CompiledMatrixForm:

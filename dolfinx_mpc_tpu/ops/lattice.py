@@ -1596,7 +1596,8 @@ class CompiledLatticeForm:
             op.fold_pairs = self._fold_pairs
             return op
         coeff_vecs = {
-            n: jnp.asarray(self.term.coefficients[n].x.array) for n in self.coeff_names
+            n: jnp.array(self.term.coefficients[n].x.array, copy=True)
+            for n in self.coeff_names
         }
         if self.kernel_soa is not None:
             if self.x_chunks > 1:

@@ -76,7 +76,7 @@ class MatrixFreeKTAK:
         self._Ae = []
         for ct, tb in zip(self._terms, self._tabs):
             wl = {
-                n: jnp.asarray(ct.term.coefficients[n].x.array)[tb["wdofmaps"][n]]
+                n: jnp.array(ct.term.coefficients[n].x.array, copy=True)[tb["wdofmaps"][n]]
                 for n in ct.coeff_names
             }
             self._Ae.append(ct.kernel(tb["coords"], tb["lf"], wl))

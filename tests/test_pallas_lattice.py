@@ -344,6 +344,51 @@ def test_fused_mask_grid_matches_xla_masking(_force_fuse_mode):
     assert err < 1e-6 * max(np.abs(ref).max(), 1.0), err
 
 
+@pytest.mark.slow
+def test_fused_mask_factored_wide_axes():
+    """The FACTORED fused kernel at vector axes > 128 lanes (9 x 133 x 133
+    nodes — the scripts/probe_factored_wide.py grid).  Locks the shape logic
+    of the r4 Mosaic wide-axis fix (transposed 2-D j-factor slices,
+    ops/pallas_lattice.py kernel_factored): the r4d chain crashed at
+    n=128/216 with `Unsupported reshape vector<217xf32> ->
+    vector<217x1xf32>` because 1-D mask-factor slices wider than one lane
+    register cannot lower.  interpret=True exercises exactly the traced
+    shapes Mosaic sees."""
+    import jax.numpy as jnp
+
+    from dolfinx_mpc_tpu.ops import pallas_lattice as PL
+
+    mesh = create_unit_cube(2, 132, 132)
+    V = dmt.functionspace(mesh, ("Lagrange", 1))
+    bdofs = dmt.locate_dofs_geometrical(
+        V, lambda x: np.isclose(x[1], 0.0) | np.isclose(x[1], 1.0))
+    bc = dmt.dirichletbc(0.0, bdofs, V)
+    mpc = dmt.MultiPointConstraint(V, dtype=np.float32)
+    mpc.create_periodic_constraint_geometrical(
+        V, lambda x: np.isclose(x[0], 1.0),
+        lambda x: np.stack([1.0 - x[0], x[1], x[2]]), [bc])
+    mpc.finalize()
+    a = dmt.BilinearForm(V, lambda u, v, c: inner(grad(u), grad(v)),
+                         quad_degree=1)
+    clf = assemble_matrix_lattice(a, mpc, bcs=[bc], dtype=np.float32,
+                                  side_format="fold")
+    assert clf._lean and pallas_supported(clf)
+    assert clf.vshape[1] > 128 and clf.vshape[2] > 128
+    assert PL._detect_factored_masks(clf) == "factored"
+    jit = jnp.asarray(0.013, jnp.float32)
+    dv = jnp.asarray(1.0, jnp.float32)
+    n0, n1, n2 = clf.vshape
+    raw = make_lean_fold_pallas(clf, interpret=True)(jit)
+    ref = clf._zero_bc_on_grid(jnp.asarray(np.asarray(raw))[:, None, None],
+                               clf._keep_grid)
+    ref = np.asarray(clf._diag_adds(ref, dv)).reshape(-1, n0, n1, n2)
+    fused = np.asarray(make_lean_fold_pallas(clf, interpret=True,
+                                             fuse_mask=True)(
+        jit, clf._keep_grid, dv, clf._bc_ind_grid))
+    err = np.abs(ref - fused).max()
+    assert err < 1e-6 * max(np.abs(ref).max(), 1.0), err
+
+
 def test_fused_mask_nonseparable_detection():
     """A geometric (non-axis-plane) BC must NOT be treated as separable:
     _detect_factored_masks returns None and the 2d kernel still matches
