@@ -747,7 +747,14 @@ class ShardedLatticeProblem:
         the fine stencil (27 (n/2)^3 vs 27 n^3 / 8 entries).  The reference
         has the same structural cost — BoomerAMG's coarsest levels are
         agglomerated onto every rank (SURVEY.md §2.3) — but measuring it is
-        what bounds the scaling envelope (VERDICT r3 weak #5)."""
+        what bounds the scaling envelope (VERDICT r3 weak #5).
+
+        `solver_vectors_per_device` estimates the CG working set (x, r, z,
+        p, Ap — 5 live vectors the size of the per-device b window) that the
+        static operand sum omits; `sharded_per_device` INCLUDES it.  The
+        figures remain an estimate of peak, not a measurement: XLA's
+        fusion temporaries and pallas double-buffering add a further
+        O(one-block) term the host cannot see (ADVICE r4)."""
         n_dev = self.Dx * self.Dy
         sharded = (
             self._coords_sh, self._w_cell, self._keep_sh, self._diag_sh,
@@ -765,11 +772,15 @@ class ShardedLatticeProblem:
         n2 = self.vshape[2]
         data_b = (n_off * self.bs * self.bs * (self.nxc + 1) * (self.nyc + 1)
                   * n2 * self.dtype.itemsize)
+        # CG working set: x, r, z, p, Ap live simultaneously in device_step,
+        # each the size of one per-device b window (ADVICE r4)
+        solver_b = 5 * int(np.asarray(self._b_sh).nbytes) // n_dev
         return {
             "n_devices": n_dev,
-            "sharded_per_device": nbytes(sharded) // n_dev + data_b,
+            "sharded_per_device": nbytes(sharded) // n_dev + data_b + solver_b,
             "replicated_coarse": rep,
             "stencil_data_per_device": data_b,
+            "solver_vectors_per_device": solver_b,
         }
 
     def solve(self):
