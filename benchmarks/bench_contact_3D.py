@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def run(nb, nt, rtol, out, max_it=8000, cheb=False, seg=100, pc="amg",
-        fmt="ell"):
+        fmt="ell", split=False):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -117,6 +117,39 @@ def run(nb, nt, rtol, out, max_it=8000, cheb=False, seg=100, pc="amg",
     x, its, rn = cg_segmented(Aop, b, M=M, rtol=rtol, max_it=max_it, seg=seg)
     jax.block_until_ready(x)
     timings["solve"] = time.time() - t0
+
+    if split:
+        # device-vs-dispatch split of the solve (VERDICT r4 next #4): the
+        # wall-clock "solve" above conflates V-cycle device time with the
+        # TPU tunnel's ~30-50 ms/dispatch relay and its result-fetch
+        # latency.  bench.py's protocol: fixed-iteration CG chains with the
+        # trip count TRACED (one compile serves all k), perturbed input to
+        # defeat the tunnel's dispatch cache, best-of-3, differenced.
+        from dolfinx_mpc_tpu.la.solvers import cg as _cg
+
+        rn_j = jax.jit(lambda Ao, Mo, bb, s, k: _cg(
+            Ao.matvec, bb * (1.0 + 1e-9 * s), M=Mo, rtol=0.0, atol=0.0,
+            max_it=k)[2])
+
+        def _timed(k):
+            best = 1e9
+            for rep in range(3):
+                s = jnp.float32(1 + rep + 17 * k)
+                t1 = time.time()
+                np.asarray(rn_j(Aop, M, b, s, k))
+                best = min(best, time.time() - t1)
+            return best
+
+        k_hi = max(int(its), 9)
+        t_lo, t_hi = _timed(2), _timed(k_hi)
+        per_it = max((t_hi - t_lo) / (k_hi - 2), 1e-9)
+        dev = per_it * int(its)
+        timings["solve device (its x per-it)"] = dev
+        timings["solve dispatch/relay overhead"] = timings["solve"] - dev
+        print(f"  split: {per_it * 1e3:.1f} ms/it on-device "
+              f"(T2={t_lo * 1e3:.0f}ms T{k_hi}={t_hi * 1e3:.0f}ms), "
+              f"device solve {dev:.2f}s of {timings['solve']:.2f}s wall",
+              flush=True)
     t0 = time.time()
     u = mpc.finalized.backsubstitution(x)
     jax.block_until_ready(u)
@@ -146,6 +179,8 @@ if __name__ == "__main__":
     p.add_argument("--format", choices=["ell", "bell", "csr"], default="ell",
                    help="device SpMV format for the fine operator")
     p.add_argument("--out", default="results_bench_contact.txt")
+    p.add_argument("--split", action="store_true",
+                   help="measure the device-vs-dispatch split of the solve")
     args = p.parse_args()
     run(args.nb, args.nt, args.rtol, args.out, max_it=args.max_it, cheb=args.cheb,
-        seg=args.seg, pc=args.pc, fmt=args.format)
+        seg=args.seg, pc=args.pc, fmt=args.format, split=args.split)

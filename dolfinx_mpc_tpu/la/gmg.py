@@ -166,16 +166,26 @@ class LatticeGMG:
         if blocked_io and free_masks is not None:
             free_masks = [ops[0].dia._to_blocked(free_masks[0])] + list(free_masks[1:])
         self.free_masks = free_masks
-        self._inv_diag = []
-        flat_inv = []  # for the Gershgorin bounds (flat-matvec consistent)
-        for lvl, A in enumerate(ops):
-            d = A.diagonal()
-            inv = jnp.where(d != 0, 1.0 / d, 0.0)
-            flat_inv.append(inv)
-            if lvl == 0 and blocked_io:
-                db = A.diagonal_blocked()
-                inv = jnp.where(db != 0, 1.0 / db, 0.0)
-            self._inv_diag.append(inv)
+        # inverse diagonals for EVERY level in ONE jitted program: the eager
+        # per-level form dispatched ~10 tiny ops per level through the
+        # remote-compile tunnel (~40+ ms each) and dominated warm-cache
+        # hierarchy setup (r5: 35 s with everything else cached)
+        @jax.jit
+        def _inv_diags(ops_):
+            flat = tuple(
+                jnp.where(d != 0, 1.0 / d, 0.0)
+                for d in (A.diagonal() for A in ops_))
+            blk = None
+            if blocked_io:
+                db = ops_[0].diagonal_blocked()
+                blk = jnp.where(db != 0, 1.0 / db, 0.0)
+            return flat, blk
+
+        flat_inv, blk_inv = _inv_diags(tuple(ops))
+        flat_inv = list(flat_inv)
+        self._inv_diag = list(flat_inv)
+        if blocked_io:
+            self._inv_diag[0] = blk_inv
         # omega="auto": weighted-Jacobi damping from the per-level Gershgorin
         # bound lmax(D^-1 A) <= max_i sum_j |a_ij| / d_i.  omega must keep
         # omega*lmax < 2 or the smoother DIVERGES and the V-cycle stops

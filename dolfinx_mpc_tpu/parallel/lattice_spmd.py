@@ -56,7 +56,8 @@ class ShardedLatticeProblem:
     def __init__(self, a: Form, L: Form, mpc, bcs=None, device_mesh: Mesh = None,
                  dtype=np.float64, rtol=1e-8, max_it=3000, diagval=1.0,
                  pc_type="jacobi", cheb_degree=3, cheb_power_iters=20,
-                 coarse_gmg=None, gmg_pre=2, gmg_post=2, gmg_omega=0.8):
+                 coarse_gmg=None, gmg_pre=2, gmg_post=2, gmg_omega=0.8,
+                 sharded_levels=1):
         dm = device_mesh if device_mesh is not None else make_device_mesh()
         if dm.devices.ndim == 1:
             dm = Mesh(dm.devices.reshape(-1, 1), ("sx", "sy"))
@@ -90,11 +91,17 @@ class ShardedLatticeProblem:
         self.coarse_gmg = coarse_gmg
         self.gmg_pre, self.gmg_post = int(gmg_pre), int(gmg_post)
         self.gmg_omega = float(gmg_omega)
+        self.sharded_levels = int(sharded_levels)
         if pc_type == "gmg":
             # sharded two-level scheme: the fine level is smoothed/restricted
             # in x-slabs; the (n/2)-and-down hierarchy runs REPLICATED on
             # every device (1/8 of fine memory) — the reference's AMG-on-
-            # every-rank analogue without cross-device transfer operators
+            # every-rank analogue without cross-device transfer operators.
+            # sharded_levels=2 keeps the (n/2) MIDDLE level sharded in
+            # x-slabs too (its operator is sliced from coarse_gmg.ops[0];
+            # the periodic fold rides two single-plane ring ppermutes), so
+            # only the (n/4)-and-down tail is replicated — the
+            # non-weak-scaling memory term drops 8x (VERDICT r4 next #6).
             assert coarse_gmg is not None, "pc_type='gmg' needs coarse_gmg"
             assert Dy == 1, "sharded gmg: 1-D x-slab meshes only (so far)"
             assert nx % 2 == 0 and ny % 2 == 0 and (is2d or nz_ % 2 == 0), (
@@ -103,6 +110,9 @@ class ShardedLatticeProblem:
             c0 = coarse_gmg.ops[0].dia.vshape
             assert c0 == (nx // 2 + 1, ny // 2 + 1, nz_ // 2 + 1), (
                 f"coarse hierarchy finest level {c0} != half-resolution grid")
+            assert self.sharded_levels in (1, 2)
+        else:
+            self.sharded_levels = 1
 
         # one SoA kernel per cell term; their element tensors sum (the
         # reference sums integral contributions the same way).  Coefficients
@@ -416,6 +426,127 @@ class ShardedLatticeProblem:
             zf = jnp.zeros((Dx, Dy, 1), _real_dtype(dtype))
             self._gmg_tabs = (z, zf, z, z, zf, zf)
 
+        # ---- sharded MIDDLE level (sharded_levels == 2) -------------------
+        # The (n/2) operator is already assembled inside coarse_gmg.ops[0]
+        # (host-side, lean DIA + optional periodic fold); slice its data,
+        # fold-corrected inverse diagonal, and free mask into x-slabs with
+        # duplicated boundary planes.  Rows are COMPLETE on every owner by
+        # construction (unlike the fine level, no partial-sum exchange is
+        # needed), so slab smoothing only needs the one-plane matvec halo.
+        self.coarse_gmg_sub = None
+        self._mid = None
+        rdt = _real_dtype(dtype)
+        if pc_type == "gmg" and self.sharded_levels == 2:
+            from ..la.gmg import LatticeGMG
+            from ..ops.lattice import DIAMatrix
+
+            cg = coarse_gmg
+            assert len(cg.ops) >= 2, "sharded_levels=2 needs >= 2 coarse levels"
+            assert not cg.blocked_io
+            assert nx % Dx == 0 and nxc % 2 == 0, (
+                "sharded_levels=2 needs nx % (2*Dx) == 0 (the fold plane "
+                "must be the LAST device's last local plane — no padding)")
+            mid_op = cg.ops[0]
+            assert isinstance(mid_op.dia, DIAMatrix)
+            assert not mid_op._unassembled() and (
+                mid_op.side_data is None or mid_op.side_data.shape[0] == 0), (
+                "sharded middle level must be lean (fold or interior only)")
+            assert mid_op.fold_axis in (None, 0), (
+                "sharded middle level: fold along the sharded x axis only")
+            nm0, nm1, nm2 = mid_op.dia.vshape
+            q0 = cg.ops[1].dia.vshape
+            assert q0 == tuple((s - 1) // 2 + 1 for s in mid_op.dia.vshape), (
+                f"level-1 grid {q0} is not a 2:1 coarsening of {mid_op.dia.vshape}")
+            nxc2 = nxc // 2
+            self._nxc2 = nxc2
+            self._mid_offsets = tuple(mid_op.dia.offsets)
+            self._mid_has_fold = mid_op.fold_axis is not None
+            mbs = mid_op.dia.bs
+            assert mbs == bs
+            mdia = np.asarray(mid_op.dia.data)  # (n_off2, bs, bs, nm0, nm1, nm2)
+            mdiag = np.asarray(mid_op.diagonal()).reshape(nm0, nm1, nm2, bs)
+            minv = np.where(mdiag != 0, 1.0 / mdiag, 0.0)
+            mfree = (np.asarray(cg.free_masks[0]).reshape(nm0, nm1, nm2, bs)
+                     if cg.free_masks is not None
+                     else np.ones((nm0, nm1, nm2, bs), rdt))
+            n_off2 = mdia.shape[0]
+            m_data = np.zeros((Dx, Dy, n_off2, bs, bs, nxc2 + 1, nm1, nm2),
+                              mdia.dtype)
+            m_inv = np.zeros((Dx, Dy, nxc2 + 1, nm1, nm2, bs), minv.dtype)
+            m_free = np.zeros((Dx, Dy, nxc2 + 1, nm1, nm2, bs), rdt)
+            for d in range(Dx):
+                x0 = d * nxc2
+                x1 = min(x0 + nxc2 + 1, nm0)
+                m_data[d, 0, :, :, :, : x1 - x0] = mdia[:, :, :, x0:x1]
+                m_inv[d, 0, : x1 - x0] = minv[x0:x1]
+                m_free[d, 0, : x1 - x0] = mfree[x0:x1]
+            fm = (np.asarray(mid_op.fold_mask).reshape(nm1, nm2, bs).astype(rdt)
+                  if self._mid_has_fold else np.zeros((nm1, nm2, bs), rdt))
+            self._mid_dv = float(np.real(np.asarray(mid_op.diagval)))
+            # Jacobi damping for the middle level: its own Gershgorin omega
+            self._mid_omega = float(cg.omegas[0])
+            # middle -> quarter transfer tables (replicated quarter grid)
+            nq0 = (nm0 - 1) // 2 + 1
+            wx2 = np.ones((Dx, nxc2 + 1), rdt)
+            wx2[:, 0] = 0.0
+            wx2[0, 0] = 1.0
+            for d in range(Dx):
+                for p in range(nxc2 + 1):
+                    if d * nxc2 + p > nm0 - 1:
+                        wx2[d, p] = 0.0
+            r_idx2 = np.zeros((Dx, Dy, nxc2 + 1), np.int32)
+            r_w2 = np.zeros((Dx, Dy, nxc2 + 1), rdt)
+            p_lo2 = np.zeros((Dx, Dy, nxc2 + 1), np.int32)
+            p_hi2 = np.zeros((Dx, Dy, nxc2 + 1), np.int32)
+            p_wlo2 = np.zeros((Dx, Dy, nxc2 + 1), rdt)
+            p_whi2 = np.zeros((Dx, Dy, nxc2 + 1), rdt)
+            for d in range(Dx):
+                for p in range(nxc2 + 1):
+                    g_ = d * nxc2 + p
+                    if g_ > nm0 - 1:
+                        continue
+                    if g_ % 2 == 0:
+                        r_idx2[d, 0, p] = g_ // 2
+                        r_w2[d, 0, p] = wx2[d, p]
+                        p_lo2[d, 0, p] = g_ // 2
+                        p_wlo2[d, 0, p] = 1.0
+                    else:
+                        p_lo2[d, 0, p] = (g_ - 1) // 2
+                        p_hi2[d, 0, p] = (g_ + 1) // 2
+                        p_wlo2[d, 0, p] = 0.5
+                        p_whi2[d, 0, p] = 0.5
+            self._nq0 = nq0
+            self._mid = {
+                "data": jnp.asarray(m_data),
+                "inv": jnp.asarray(m_inv),
+                "free": jnp.asarray(m_free),
+                "fm": jnp.asarray(np.broadcast_to(fm, (Dx, Dy) + fm.shape).copy()),
+                "r_idx2": jnp.asarray(r_idx2), "r_w2": jnp.asarray(r_w2),
+                "p_lo2": jnp.asarray(p_lo2), "p_hi2": jnp.asarray(p_hi2),
+                "p_wlo2": jnp.asarray(p_wlo2), "p_whi2": jnp.asarray(p_whi2),
+            }
+            # the replicated tail: the hierarchy from (n/4) down, rebuilt
+            # WITHOUT re-running __init__ (bounds already computed)
+            sub = LatticeGMG.__new__(LatticeGMG)
+            sub.ops = list(cg.ops[1:])
+            sub.free_masks = (None if cg.free_masks is None
+                              else list(cg.free_masks[1:]))
+            sub._inv_diag = list(cg._inv_diag[1:])
+            sub.n_pre, sub.n_post = cg.n_pre, cg.n_post
+            sub.omegas = tuple(cg.omegas[1:])
+            sub.coarse_iters = cg.coarse_iters
+            sub.coarse_mode = cg.coarse_mode
+            sub.coarse_inv = cg.coarse_inv
+            sub._cheb = cg._cheb
+            sub.blocked_io = False
+            sub.smoother = cg.smoother
+            sub._cheb_sm = None if cg._cheb_sm is None else tuple(cg._cheb_sm[1:])
+            sub._bounds = None
+            self.coarse_gmg_sub = sub
+        if self._mid is None:
+            zf = jnp.zeros((Dx, Dy, 1), rdt)
+            self._mid = {"data": zf}
+
         # backsubstitution tables
         if mpc_r is not None and mpc_r.num_local_slaves:
             self._bs_tabs = (
@@ -478,17 +609,26 @@ class ShardedLatticeProblem:
 
         gmg_pre, gmg_post, gmg_omega = self.gmg_pre, self.gmg_post, self.gmg_omega
         nx_ = nx
+        sharded_levels = self.sharded_levels
+        if sharded_levels == 2:
+            nxc2 = self._nxc2
+            mid_offsets = self._mid_offsets
+            mid_has_fold = self._mid_has_fold
+            mid_dv = self._mid_dv
+            mid_omega = self._mid_omega
+            nq0 = self._nq0
 
         def device_step(coords, w_cell, keep, diag_sh, b_sh, Tr_sh, sc_pos, sc_valid,
                         slot_sh, need_idx, need_w, side_sel, side_lrow, side_colp,
-                        side_vw, wpq, side_diag_w, wl_sh, free_sh, gmg_tabs, cgmg):
+                        side_vw, wpq, side_diag_w, wl_sh, free_sh, gmg_tabs, mid,
+                        cgmg):
             sq = lambda t: jax.tree_util.tree_map(lambda x: x[0, 0], t)
             (coords, w_cell, keep, diag_sh, b_sh, Tr_sh, sc_pos, sc_valid, slot_sh,
              need_idx, need_w, side_sel, side_lrow, side_colp, side_vw, wpq,
-             side_diag_w, wl_sh, free_sh, gmg_tabs) = sq(
+             side_diag_w, wl_sh, free_sh, gmg_tabs, mid) = sq(
                 (coords, w_cell, keep, diag_sh, b_sh, Tr_sh, sc_pos, sc_valid, slot_sh,
                  need_idx, need_w, side_sel, side_lrow, side_colp, side_vw, wpq,
-                 side_diag_w, wl_sh, free_sh, gmg_tabs))
+                 side_diag_w, wl_sh, free_sh, gmg_tabs, mid))
 
             # ---- assembly: sum of all cell terms ---------------------------
             Ae = None
@@ -657,13 +797,12 @@ class ShardedLatticeProblem:
 
                     return jax.lax.fori_loop(0, n_sweeps, body, x0)
 
-                def M(r):
-                    x0 = smooth(jnp.zeros_like(r), r, gmg_pre)
-                    res = (r - matvec(x0)) * free_sh.astype(r.dtype)
-                    # y,z full weighting locally (R = P^T: 2x per axis) ...
+                def restrict_x(res):
+                    """Local y,z full weighting then x full weighting with one
+                    halo plane per side: gx[p] is the COMPLETE restricted
+                    value for every local fine plane p (R = P^T, 2x/axis)."""
                     g = 2.0 * _restrict1(res, 1)
                     g = 2.0 * _restrict1(g, 2)
-                    # ... then x full weighting with one halo plane per side
                     from_left = jax.lax.ppermute(g[nxc - 1], axx, fwd_x)
                     from_right = jax.lax.ppermute(g[1], axx, bwd_x)
                     me = jax.lax.axis_index(axx)
@@ -671,7 +810,13 @@ class ShardedLatticeProblem:
                     wr = jnp.where(me < lx, 1.0, 0.0).astype(g.dtype)
                     gext = jnp.concatenate(
                         [(wl * from_left)[None], g, (wr * from_right)[None]], 0)
-                    gx = 2.0 * (0.5 * gext[1:-1] + 0.25 * (gext[:-2] + gext[2:]))
+                    return 2.0 * (0.5 * gext[1:-1] + 0.25 * (gext[:-2] + gext[2:]))
+
+                def M2(r):
+                    """Two-level: psum-replicated (n/2) residual into cgmg."""
+                    x0 = smooth(jnp.zeros_like(r), r, gmg_pre)
+                    res = (r - matvec(x0)) * free_sh.astype(r.dtype)
+                    gx = restrict_x(res)
                     rc = jnp.zeros((nc0,) + gx.shape[1:], r.dtype)
                     rc = rc.at[r_idx].add(
                         r_w[:, None, None, None].astype(r.dtype) * gx)
@@ -691,6 +836,117 @@ class ShardedLatticeProblem:
                     ef = _prolong1(ef, 2)
                     x1 = x0 + ef * free_sh.astype(r.dtype)
                     return smooth(x1, r, gmg_post)
+
+                def matvec_mid(xm):
+                    """Slab matvec of the (n/2) middle operator: DIA rows are
+                    complete on every owner (sliced from the host-assembled
+                    full-grid operator), so only the one-plane x halo plus —
+                    for the periodic fold — two single-plane ring ppermutes
+                    between the end devices are exchanged."""
+                    md = mid["data"]  # (n_off2, bs, bs, nxc2+1, nm1, nm2)
+                    me = jax.lax.axis_index(axx)
+                    nm1_, nm2_ = md.shape[-2], md.shape[-1]
+                    u = xm
+                    if mid_has_fold:
+                        fmb = mid["fm"] > 0  # (nm1, nm2, bs)
+                        # u = K x: device 0's first plane overwrites the
+                        # slave plane (global nm0-1, on the LAST device)
+                        first = jax.lax.ppermute(xm[0], axx, [(0, lx)])
+                        on_last = (me == lx)
+                        u = xm.at[nxc2].set(
+                            jnp.where(on_last & fmb, first, xm[nxc2]))
+                    from_left = jax.lax.ppermute(u[nxc2 - 1], axx, fwd_x)
+                    from_right = jax.lax.ppermute(u[1], axx, bwd_x)
+                    uext = jnp.concatenate(
+                        [from_left[None], u, from_right[None]], axis=0)
+                    y = jnp.zeros_like(xm)
+                    N0m = nxc2 + 1
+                    for d_, (di, dj, dk) in enumerate(mid_offsets):
+                        dstj = slice(max(-dj, 0), nm1_ - max(dj, 0))
+                        srcj = slice(max(dj, 0), nm1_ + min(dj, 0))
+                        dstk = slice(max(-dk, 0), nm2_ - max(dk, 0))
+                        srck = slice(max(dk, 0), nm2_ + min(dk, 0))
+                        for ci in range(bs):
+                            acc = None
+                            for cj in range(bs):
+                                term = (
+                                    md[d_, ci, cj, :, dstj, dstk]
+                                    * uext[slice(1 + di, 1 + di + N0m), srcj, srck, cj]
+                                )
+                                acc = term if acc is None else acc + term
+                            y = y.at[:, dstj, dstk, ci].add(acc)
+                    if mid_has_fold:
+                        # y = K^T (A u): fold the slave-plane row back onto
+                        # the master plane, slave rows get diagval * x
+                        fold_add = jax.lax.ppermute(y[nxc2], axx, [(lx, 0)])
+                        on0 = (me == 0)
+                        y = y.at[0].add(jnp.where(on0 & fmb, fold_add, 0))
+                        y = y.at[nxc2].set(jnp.where(
+                            (me == lx) & fmb,
+                            jnp.asarray(mid_dv, y.dtype) * xm[nxc2], y[nxc2]))
+                    return y
+
+                def smooth_mid(x0, r0, n_sweeps):
+                    def body(_, xi):
+                        return xi + mid_omega * mid["inv"].astype(r0.dtype) * (
+                            r0 - matvec_mid(xi))
+
+                    return jax.lax.fori_loop(0, n_sweeps, body, x0)
+
+                def M3(r):
+                    """Three-level: fine slab -> SHARDED (n/2) slab ->
+                    psum-replicated (n/4)-rooted tail (cgmg = the sub
+                    hierarchy).  The fine->middle transfer is slab-LOCAL:
+                    nxc is even, so every even global plane's restricted
+                    value sits at an even local index (gx[::2])."""
+                    free_m = mid["free"].astype(r.dtype)
+                    x0 = smooth(jnp.zeros_like(r), r, gmg_pre)
+                    res = (r - matvec(x0)) * free_sh.astype(r.dtype)
+                    rcs = restrict_x(res)[::2] * free_m  # (nxc2+1, nm1, nm2, bs)
+                    e1 = smooth_mid(jnp.zeros_like(rcs), rcs, gmg_pre)
+                    res1 = (rcs - matvec_mid(e1)) * free_m
+                    # middle -> quarter (replicated): same pattern as M2's
+                    # fine -> coarse but over the middle slabs
+                    g2 = 2.0 * _restrict1(res1, 1)
+                    g2 = 2.0 * _restrict1(g2, 2)
+                    m_left = jax.lax.ppermute(g2[nxc2 - 1], axx, fwd_x)
+                    m_right = jax.lax.ppermute(g2[1], axx, bwd_x)
+                    me = jax.lax.axis_index(axx)
+                    wl = jnp.where(me > 0, 1.0, 0.0).astype(g2.dtype)
+                    wr = jnp.where(me < lx, 1.0, 0.0).astype(g2.dtype)
+                    g2ext = jnp.concatenate(
+                        [(wl * m_left)[None], g2, (wr * m_right)[None]], 0)
+                    gx2 = 2.0 * (0.5 * g2ext[1:-1] + 0.25 * (g2ext[:-2] + g2ext[2:]))
+                    rq = jnp.zeros((nq0,) + gx2.shape[1:], r.dtype)
+                    rq = rq.at[mid["r_idx2"]].add(
+                        mid["r_w2"][:, None, None, None].astype(r.dtype) * gx2)
+                    rq = jax.lax.psum(rq, (axx, axy))
+                    rqf = rq.reshape(-1)
+                    qmask = (cgmg.free_masks[0]
+                             if cgmg.free_masks is not None else None)
+                    if qmask is not None:
+                        rqf = rqf * qmask.astype(rqf.dtype)
+                    eq = cgmg(rqf)
+                    if qmask is not None:
+                        eq = eq * qmask.astype(eq.dtype)
+                    eqg = eq.reshape(rq.shape)
+                    # quarter -> middle slab: x gather, then y,z interpolation
+                    em = (mid["p_wlo2"][:, None, None, None].astype(r.dtype) * eqg[mid["p_lo2"]]
+                          + mid["p_whi2"][:, None, None, None].astype(r.dtype) * eqg[mid["p_hi2"]])
+                    em = _prolong1(em, 1)
+                    em = _prolong1(em, 2)
+                    e1 = e1 + em * free_m
+                    e1 = smooth_mid(e1, rcs, gmg_post)
+                    # middle slab -> fine slab: slab-local x interleave
+                    ef = jnp.zeros((nxc + 1,) + e1.shape[1:], r.dtype)
+                    ef = ef.at[::2].set(e1)
+                    ef = ef.at[1::2].set(0.5 * (e1[:-1] + e1[1:]))
+                    ef = _prolong1(ef, 1)
+                    ef = _prolong1(ef, 2)
+                    x1 = x0 + ef * free_sh.astype(r.dtype)
+                    return smooth(x1, r, gmg_post)
+
+                M = M3 if sharded_levels == 2 else M2
             else:
                 M = lambda r: inv * r
 
@@ -726,9 +982,10 @@ class ShardedLatticeProblem:
         smapped = jax.shard_map(
             device_step,
             mesh=self.device_mesh,
-            # specs broadcast over pytree args (wl_sh, gmg_tabs, cgmg);
-            # the coarse GMG hierarchy is REPLICATED on every device
-            in_specs=(dev,) * 17 + (dev, dev, dev, rep),
+            # specs broadcast over pytree args (wl_sh, gmg_tabs, mid, cgmg);
+            # the coarse GMG hierarchy (the (n/4)-rooted tail under
+            # sharded_levels=2) is REPLICATED on every device
+            in_specs=(dev,) * 17 + (dev, dev, dev, dev, rep),
             out_specs=(dev, rep, rep),
             check_vma=False,
         )
@@ -762,10 +1019,15 @@ class ShardedLatticeProblem:
             self._slot_sh, self._need_idx, self._need_w, self._side_sel,
             self._side_lrow, self._side_colp, self._side_vw, self._wpq,
             self._side_diag_w, self._wl_sh, self._free_sh, self._gmg_tabs,
+            self._mid,
         )
         nbytes = lambda t: sum(
             int(np.asarray(x).nbytes) for x in jax.tree_util.tree_leaves(t))
-        rep = nbytes(self.coarse_gmg) if self.coarse_gmg is not None else 0
+        # sharded_levels=2: only the (n/4)-rooted tail is replicated — the
+        # (n/2) middle level rides the sharded `mid` slabs counted above
+        rep_h = (self.coarse_gmg_sub if self.sharded_levels == 2
+                 else self.coarse_gmg)
+        rep = nbytes(rep_h) if rep_h is not None else 0
         # the in-solve stencil `data` array is assembled on device, not an
         # operand: (n_off, bs, bs, nxc+1, nyc+1, n2) per device
         n_off = len(self.offsets)
@@ -784,7 +1046,8 @@ class ShardedLatticeProblem:
         }
 
     def solve(self):
-        cgmg = self.coarse_gmg
+        cgmg = (self.coarse_gmg_sub if self.sharded_levels == 2
+                else self.coarse_gmg)
         if cgmg is None:
             cgmg = jnp.zeros(())  # placeholder pytree for the rep spec
         xs, k, rnorm = self._step(
@@ -792,7 +1055,7 @@ class ShardedLatticeProblem:
             self._Tr_sh, self._sc_pos, self._sc_valid, self._slot_sh,
             self._need_idx, self._need_w, self._side_sel, self._side_lrow,
             self._side_colp, self._side_vw, self._wpq, self._side_diag_w,
-            self._wl_sh, self._free_sh, self._gmg_tabs, cgmg,
+            self._wl_sh, self._free_sh, self._gmg_tabs, self._mid, cgmg,
         )
         # stitch boxes: device (dx,dy) owns planes [dx*nxc, dx*nxc+nxc) x
         # [dy*nyc, dy*nyc+nyc) plus the global last plane in each axis

@@ -214,6 +214,45 @@ def test_sharded_gmg_matches_single_device():
         assert err < 1e-9, f"n_dev={n_dev}: err={err} its={its}"
 
 
+def test_sharded_gmg_three_level():
+    """sharded_levels=2 (VERDICT r4 next #6): the (n/2) MIDDLE level runs
+    SHARDED in x-slabs (operator sliced from coarse_gmg.ops[0], periodic
+    fold via ring ppermutes); only the (n/4)-rooted tail is replicated.
+    Must match the single-device solve at the same iteration quality, with
+    a strictly smaller replicated footprint than the 2-level scheme."""
+    from dolfinx_mpc_tpu.la.gmg import LatticeGMG, build_gmg_hierarchy
+    from dolfinx_mpc_tpu.ops.lattice import assemble_matrix_lattice
+
+    n = 16
+    V, a, L, mpc, bc = _problem_3d(n)
+    ref = dmt.LinearProblem(a, L, mpc, bcs=[bc],
+                            petsc_options={"ksp_rtol": 1e-12}).solve()
+
+    def make_level(m):
+        Vl, al, Ll, mpcl, bcl = _problem_3d(m)
+        return assemble_matrix_lattice(al, mpcl, bcs=[bcl], side_format="fold")
+
+    ops, masks = build_gmg_hierarchy(make_level, n // 2, 3, min_n=4)
+    assert len(ops) >= 2
+    cgmg = LatticeGMG(ops, free_masks=masks)
+    reports, its_seen = [], []
+    for lvls in (1, 2):
+        pg = ShardedLatticeProblem(
+            a, L, mpc, [bc], device_mesh=make_device_mesh(8), rtol=1e-10,
+            pc_type="gmg", coarse_gmg=cgmg, sharded_levels=lvls,
+        )
+        u, its, rn = pg.solve()
+        err = np.abs(u - np.asarray(ref.x.array)).max()
+        assert err < 1e-8, f"sharded_levels={lvls}: err={err} its={its}"
+        reports.append(pg.memory_report())
+        its_seen.append(int(its))
+    # same preconditioner quality (the middle level computes the identical
+    # V-cycle, just sharded) ...
+    assert its_seen[1] <= its_seen[0] + 2, its_seen
+    # ... with a strictly smaller replicated (non-weak-scaling) term
+    assert reports[1]["replicated_coarse"] < reports[0]["replicated_coarse"]
+
+
 @pytest.mark.parametrize("shape", [(4, 2), (2, 4), (2, 2)])
 def test_sharded_lattice_2d_mesh(shape):
     """2-D (x,y) box decomposition (SURVEY §2.3 '1-D slabs only' gap): the
