@@ -632,8 +632,13 @@ def main():
         to_b = jax.jit(A.dia._to_blocked)
         from_b = jax.jit(A.dia._from_blocked)
         xr = to_b(xr)
+    # floor=24ms: the n=64 SpMV is ~0.1 ms/op — a 4 ms floor lets the chain
+    # difference ride the tunnel's multi-ms dispatch jitter (measured
+    # 136-302 GB/s scatter across r4/r5 runs at the default floor); a
+    # 24 ms difference needs k~256 and pins the number
     t_mv, _ = chain_diff(lambda s, k: mv_chain(A, xr, jnp.float32(s), k), 1, 33,
-                         "fine SpMV chain" + (" (blocked layout)" if blocked_mode else ""))
+                         "fine SpMV chain" + (" (blocked layout)" if blocked_mode else ""),
+                         floor=24e-3)
     log(f"  -> SpMV {len(clf.trips) if clf._blocked_lean else (len(clf.offsets) if clf._lean else 15)}"
         f"-{'triple' if clf._blocked_lean else 'diag'} "
         f"{(out_bytes + 2 * 4 * V.num_dofs)/t_mv/1e9:.0f} GB/s effective")
@@ -646,7 +651,7 @@ def main():
             return jax.lax.fori_loop(0, k, body, r0 * (1.0 + 1e-9 * s)).ravel()[0]
 
         t_vc, _ = chain_diff(lambda s, k: vc_chain(M, xr, jnp.float32(s), k), 1, 9,
-                             "V-cycle chain")
+                             "V-cycle chain", floor=24e-3)
 
     @jax.jit
     def solve(A_, M_, b_, rtol, atol, max_it):
