@@ -139,7 +139,10 @@ def run_gmg_case(n, n_dev, rtol):
         return assemble_matrix_lattice(al, mpcl, bcs=bcl, side_format="fold")
 
     t0 = time.time()
-    ops, masks = build_gmg_hierarchy(make_level, n // 2, 3, min_n=5)
+    # 4 levels (40/20/10/5 at n=80): a coarsest of 6^3 keeps the dense
+    # coarse inverse at 0.4 MB — with a 11^3 coarsest its 14 MB inverse
+    # dominated the replicated tail and masked the middle-level shard win
+    ops, masks = build_gmg_hierarchy(make_level, n // 2, 4, min_n=5)
     cg = LatticeGMG(ops, free_masks=masks)
     hier = time.time() - t0
     rows = []
@@ -168,7 +171,8 @@ def run_gmg_case(n, n_dev, rtol):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--cases", default="poisson,contact,gmg")
+    p.add_argument("--cases", default="poisson,contact,contact1m,gmg")
+    p.add_argument("--big-dtype", default="f32", choices=["f32", "f64"])
     p.add_argument("--max-it", type=int, default=1200)
     p.add_argument("--rtol", type=float, default=1e-6)
     p.add_argument("--out", default=None)
@@ -176,8 +180,9 @@ def main():
 
     print("case         n      dofs nd    window  frac  tab_MB/d slot_MB/d "
           "  its rnorm      wall_s", flush=True)
+    cases = set(args.cases.split(","))
     rows = []
-    if "poisson" in args.cases:
+    if "poisson" in cases:
         for n in (24, 40, 64, 81):  # 15.6k .. 551k dofs
             rows.append(run_case(
                 "poisson", str(n), lambda n=n: _poisson(n), 8,
@@ -185,12 +190,21 @@ def main():
         # single-device reference point for the window fraction
         rows.append(run_case("poisson", "64(1d)", lambda: _poisson(64), 1,
                              args.rtol, args.max_it))
-    if "contact" in args.cases:
-        for nb, nt in ((24, 20), (40, 34), (58, 50)):  # 74.7k .. 1.01M dofs
+    if "contact" in cases:
+        for nb, nt in ((24, 20), (40, 34)):  # 74.7k / 335k dofs
             rows.append(run_case(
                 "contact", f"{nb}/{nt}", lambda nb=nb, nt=nt: _contact(nb, nt),
                 8, args.rtol, args.max_it))
-    if "gmg" in args.cases:
+    if "contact1m" in cases:
+        # the 1.01M-dof case OOM-kills this 125 GB host in f64 (129 GB of
+        # 8-device tables + assembly intermediates, oom-kill recorded
+        # 2026-08-21) — it runs in f32, flagged in the table
+        dt = np.float32 if args.big_dtype == "f32" else np.float64
+        rows.append(run_case(
+            "contact", "58/50*", lambda: _contact(58, 50),
+            8, max(args.rtol, 1e-5) if dt == np.float32 else args.rtol,
+            args.max_it, dtype=dt))
+    if "gmg" in cases:
         rows.extend(run_gmg_case(80, 8, args.rtol))  # 531k dofs
     if args.out:
         import json
