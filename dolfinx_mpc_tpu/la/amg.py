@@ -348,9 +348,24 @@ def smoothed_aggregation_amg(
     bs_l = bs
     while Al.shape[0] > coarse_size and lvl < max_levels - 1:
         G = _node_graph(Al, bs_l)
-        S = _strength(G, theta)
-        agg, na = _aggregate(S, seed=seed + lvl)
-        if na * k >= Al.shape[0]:  # no coarsening progress: stop
+        # adaptive strength threshold: on coarse Galerkin operators the
+        # node-collapsed off-diagonals weaken relative to the diagonal and
+        # theta=0.08 leaves the strength graph nearly EMPTY — aggregation
+        # then emits ~1 singleton aggregate per node and the hierarchy
+        # STALLS (measured at 1M-dof contact: levels 61662 -> 52896 ->
+        # 52140 -> 52104, 276 s of stalled ~52k-row Galerkin products and
+        # a Chebyshev-terminated 52k coarsest instead of a dense solve).
+        # Halve theta until aggregates average >= ~3 nodes; only stalled
+        # levels relax, the fine level keeps the caller's theta.
+        n_nodes = G.shape[0]
+        th = theta
+        for _ in range(5):
+            S = _strength(G, th)
+            agg, na = _aggregate(S, seed=seed + lvl)
+            if na <= n_nodes // 3:
+                break
+            th *= 0.5
+        if na * k >= Al.shape[0]:  # no coarsening progress even at th->0
             break
         # tentative prolongator + projected coarse candidates
         T, Bc = _fit_candidates(agg, na, Bl, bs_l)
