@@ -397,11 +397,16 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False,
 
     if fuse_mode == "factored":
         ki, kj, kk, pi, pj, pk = clf._mask_factors  # halo-padded (n_stack, S+2)
-        # j-axis factors go in TRANSPOSED ((S+2, n_stack)) so every kernel
-        # slice is already 2-D: Mosaic cannot lower the (n,) -> (n, 1)
-        # tpu.reshape for unaligned n (first hit at n1=217, the 10.2M-dof
-        # n=216 config, r4d chain log).
-        kjT, pjT = kj.T, pj.T
+        # j-axis factors: for n1 > 128 lanes they go in TRANSPOSED
+        # ((S+2, n_stack)) so every kernel slice is already 2-D — Mosaic
+        # cannot lower the (n,) -> (n, 1) tpu.reshape for unaligned n past
+        # one lane register (first hit at n1=217, the 10.2M-dof n=216
+        # config, r4d chain log).  For n1 <= 128 the ORIGINAL row-major
+        # layout stays: its lane-contiguous 1-D slices are ~19% faster
+        # (P2 n=64 measured 0.953 ms pre-fix vs 1.14 ms all-transposed,
+        # r5b), and the reshape lowers fine within one register.
+        wide_j = n1 > 128
+        kjT, pjT = (kj.T, pj.T) if wide_j else (kj, pj)
 
         def kernel_factored(jit_ref, dv_ref, ki_ref, pi_ref,
                             kj_ref, kk_ref, pj_ref, pk_ref, out_ref):
@@ -441,14 +446,20 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False,
                 if acc is None:
                     out_ref[mi, 0] = zero
                     continue
-                # j factors are transposed ((S+2, n_stack)) so column slices
-                # come out (n1, 1); k factors stay row-major for (1, n2) —
-                # never materialize a 1-D vector (Mosaic can't reshape
-                # (n,) -> (n, 1) for unaligned n, e.g. 217 at n=216)
+                # j factors: transposed ((S+2, n_stack)) column slices
+                # (n1, 1) when n1 > 128 (Mosaic can't reshape (n,) ->
+                # (n, 1) for unaligned n past one register, e.g. 217 at
+                # n=216); lane-contiguous row slices + in-register reshape
+                # otherwise (faster).  k factors are (1, n2) row slices —
+                # never a problematic reshape either way.
                 jkey = (ri, ci_, dj)
                 if jkey not in jprods:
-                    jprods[jkey] = (kj_ref[1:1 + n1, ri:ri + 1]
-                                    * kj_ref[1 + dj:1 + dj + n1, ci_:ci_ + 1])
+                    if wide_j:
+                        jprods[jkey] = (kj_ref[1:1 + n1, ri:ri + 1]
+                                        * kj_ref[1 + dj:1 + dj + n1, ci_:ci_ + 1])
+                    else:
+                        jprods[jkey] = (kj_ref[ri, 1:1 + n1]
+                                        * kj_ref[ci_, 1 + dj:1 + dj + n1])[:, None]
                 kkey = (ri, ci_, dk)
                 if kkey not in kprods:
                     kprods[kkey] = (kk_ref[ri:ri + 1, 1:1 + n2]
@@ -461,10 +472,16 @@ def _make_lean_fold_pallas_group(clf, oid_group, interpret=False,
                 res = (acc * ix) * (jprods[jkey] * kprods[kkey])
                 if is_diag[mi]:
                     # diagval * (pad - keep) on the diagonal: both separable
+                    if wide_j:
+                        pj_col = pj_ref[1:1 + n1, ri:ri + 1]
+                        kj_col = kj_ref[1:1 + n1, ri:ri + 1]
+                    else:
+                        pj_col = pj_ref[ri, 1:1 + n1][:, None]
+                        kj_col = kj_ref[ri, 1:1 + n1][:, None]
                     res = res + dv * (
-                        pi_ref[ri, p + 1] * (pj_ref[1:1 + n1, ri:ri + 1]
+                        pi_ref[ri, p + 1] * (pj_col
                                              * pk_ref[ri:ri + 1, 1:1 + n2])
-                        - ki_ref[ri, p + 1] * (kj_ref[1:1 + n1, ri:ri + 1]
+                        - ki_ref[ri, p + 1] * (kj_col
                                                * kk_ref[ri:ri + 1, 1:1 + n2]))
                 out_ref[mi, 0] = res
 
